@@ -1,0 +1,299 @@
+"""Autoregressive Tacotron 2 decoder as a single ``lax.scan``.
+
+Rebuild of ``/root/reference/modules/tacotron2.py:79-219``.  The reference
+decodes with a Python loop over frames (★ hot loop, tacotron2.py:180-207) —
+thousands of kernel launches per utterance.  Here one compiled scan runs the
+whole frame loop on device; each step is two fused-gate LSTM matmuls, the
+attention energy, and the frame/stop heads.
+
+Inference runs the SAME scanned cell in fixed-size chunks
+(``hp.decode_chunk_frames``) driven from the host: after each chunk one
+boolean ("all samples stopped?") is transferred, giving early exit at chunk
+granularity while every compiled shape stays static.
+
+Stochasticity (prenet dropout — deliberately active at inference, reference
+tacotron2.py:40 — zoneout, per-step teacher forcing draws) uses explicit
+per-step PRNG keys threaded through the scan, not implicit RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multilingual_text_to_speech_tpu.models.attention import (
+    ForwardAttention,
+    ForwardAttentionWithTransition,
+    LocationSensitiveAttention,
+    init_attention_state,
+)
+from multilingual_text_to_speech_tpu.models.rnn import (
+    DropoutLSTMCell,
+    ZoneoutLSTMCell,
+    dropout,
+)
+
+Carry = Dict[str, Any]
+
+
+class Prenet(nn.Module):
+    """Decoder pre-net: linear+ReLU stack whose dropout stays active at
+    inference for output variety (reference: modules/tacotron2.py:15-46)."""
+
+    output_dim: int = 256
+    num_layers: int = 2
+    dropout_rate: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            key, sub = jax.random.split(key)
+            x = nn.Dense(self.output_dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = jax.nn.relu(x.astype(jnp.float32))
+            x = dropout(x, self.dropout_rate, sub)  # always on
+        return x
+
+
+def _make_attention(attention_type: str, hp_like, dtype):
+    if attention_type == "location_sensitive":
+        return LocationSensitiveAttention(
+            representation_dim=hp_like.attention_dimension,
+            kernel_size=hp_like.attention_kernel_size,
+            location_channels=hp_like.attention_location_dimension,
+            smoothing=False,
+            dtype=dtype,
+            name="attention",
+        )
+    if attention_type == "forward":
+        return ForwardAttention(
+            representation_dim=hp_like.attention_dimension, dtype=dtype,
+            name="attention",
+        )
+    if attention_type == "forward_transition_agent":
+        return ForwardAttentionWithTransition(
+            representation_dim=hp_like.attention_dimension, dtype=dtype,
+            name="attention",
+        )
+    raise ValueError(f"unknown attention type: {attention_type}")
+
+
+class DecoderCell(nn.Module):
+    """One autoregressive step (reference loop body, tacotron2.py:180-198).
+
+    carry: h/c of both LSTMs, context, previous raw frame, attention state.
+    xs per step: (teacher flag, shifted-target frame, PRNG key).
+    broadcast: memory, memory_transform, mask.
+    """
+
+    hp_model: Any                 # attribute bag with model dims (HParams)
+    train: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        carry: Carry,
+        teacher_t: jnp.ndarray,        # [] bool
+        target_t: jnp.ndarray,         # [B, M] shifted target frame (zeros at inference)
+        rng_t: jax.Array,              # PRNG key
+        memory: jnp.ndarray,           # [B, T, Mem]
+        memory_transform: jnp.ndarray, # [B, T, A]
+        mask: jnp.ndarray,             # [B, T]
+    ) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        hp = self.hp_model
+        k_pre, k_att, k_gen = jax.random.split(rng_t, 3)
+
+        raw_prev = jnp.where(teacher_t, target_t, carry["frame"])
+        prev_frame = Prenet(
+            output_dim=hp.prenet_dimension,
+            num_layers=hp.prenet_layers,
+            dropout_rate=hp.dropout,
+            dtype=self.dtype,
+            name="prenet",
+        )(raw_prev, k_pre)
+
+        if hp.decoder_regularization == "zoneout":
+            def make_cell(name):
+                return ZoneoutLSTMCell(
+                    hp.decoder_dimension, hp.zoneout_hidden, hp.zoneout_cell,
+                    dtype=self.dtype, name=name,
+                )
+        else:
+            def make_cell(name):
+                return DropoutLSTMCell(
+                    hp.decoder_dimension, hp.dropout_hidden,
+                    dtype=self.dtype, name=name,
+                )
+
+        att_in = jnp.concatenate([prev_frame, carry["context"]], axis=-1)
+        h_att, c_att = make_cell("attention_lstm")(
+            att_in, carry["h_att"], carry["c_att"], k_att, self.train
+        )
+
+        context, weights, att_state = _make_attention(
+            hp.attention_type, hp, self.dtype
+        )(h_att, memory, memory_transform, mask, carry["att_state"], prev_frame)
+
+        gen_in = jnp.concatenate([h_att, context], axis=-1)
+        h_gen, c_gen = make_cell("generator_lstm")(
+            gen_in, carry["h_gen"], carry["c_gen"], k_gen, self.train
+        )
+
+        proto = jnp.concatenate([h_gen, context], axis=-1).astype(self.dtype)
+        frame = nn.Dense(hp.num_mels, dtype=self.dtype,
+                         name="frame_prediction")(proto).astype(jnp.float32)
+        stop = nn.Dense(1, dtype=self.dtype,
+                        name="stop_prediction")(proto).astype(jnp.float32)[..., 0]
+
+        new_carry = {
+            "h_att": h_att, "c_att": c_att,
+            "h_gen": h_gen, "c_gen": c_gen,
+            "context": context, "frame": frame,
+            "att_state": att_state,
+        }
+        return new_carry, (frame, stop, weights)
+
+
+class Decoder(nn.Module):
+    """Decoder wrapper: speaker/language conditioning, memory projection,
+    scan orchestration (reference: modules/tacotron2.py:102-219)."""
+
+    hp_model: Any
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        hp = self.hp_model
+        if hp.multi_speaker and hp.speaker_embedding_dimension > 0:
+            self.speaker_embedding = nn.Embed(
+                hp.speaker_number, hp.speaker_embedding_dimension,
+                embedding_init=nn.initializers.xavier_uniform(),
+            )
+        if hp.multi_language and hp.language_embedding_dimension > 0:
+            self.language_embedding = nn.Embed(
+                hp.language_number, hp.language_embedding_dimension,
+                embedding_init=nn.initializers.xavier_uniform(),
+            )
+        self.memory_proj = nn.Dense(
+            hp.attention_dimension, use_bias=False, dtype=self.dtype,
+            name="memory",
+        )
+        scan = nn.scan(
+            DecoderCell,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0, 0, 0, nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+        )
+        # `train` is a construction-time attribute: a train-mode and an
+        # eval-mode Decoder share one parameter tree (identical structure).
+        self.cell = scan(self.hp_model, self.train, self.dtype, name="cell")
+
+    # -- memory conditioning -------------------------------------------------
+
+    def prepare_memory(
+        self,
+        encoded: jnp.ndarray,                 # [B, T, C]
+        speakers: Optional[jnp.ndarray],      # [B] or [B, T] int
+        languages: Optional[jnp.ndarray],     # [B] or [B, T] int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        hp = self.hp_model
+        t = encoded.shape[1]
+
+        def expand(ids):
+            if ids.ndim == 1:
+                ids = jnp.broadcast_to(ids[:, None], (ids.shape[0], t))
+            return ids
+
+        memory = encoded
+        if hp.multi_speaker and hp.speaker_embedding_dimension > 0:
+            emb = self.speaker_embedding(expand(speakers))
+            memory = jnp.concatenate([memory, emb.astype(memory.dtype)], axis=-1)
+        if hp.multi_language and hp.language_embedding_dimension > 0:
+            emb = self.language_embedding(expand(languages))
+            memory = jnp.concatenate([memory, emb.astype(memory.dtype)], axis=-1)
+        return memory, self.memory_proj(memory)
+
+    def initial_carry(self, batch_size: int, max_len: int,
+                      memory_dim: int) -> Carry:
+        hp = self.hp_model
+        z = lambda d: jnp.zeros((batch_size, d), jnp.float32)
+        return {
+            "h_att": z(hp.decoder_dimension), "c_att": z(hp.decoder_dimension),
+            "h_gen": z(hp.decoder_dimension), "c_gen": z(hp.decoder_dimension),
+            "context": z(memory_dim), "frame": z(hp.num_mels),
+            "att_state": init_attention_state(hp.attention_type, batch_size, max_len),
+        }
+
+    # -- training ------------------------------------------------------------
+
+    def __call__(
+        self,
+        encoded: jnp.ndarray,           # [B, T, C]
+        text_lengths: jnp.ndarray,      # [B]
+        target: jnp.ndarray,            # [B, F, M]
+        teacher_forcing_ratio: float | jnp.ndarray,
+        speakers: Optional[jnp.ndarray],
+        languages: Optional[jnp.ndarray],
+        rng: jax.Array,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        b, t = encoded.shape[0], encoded.shape[1]
+        frames = target.shape[1]
+
+        memory, memory_transform = self.prepare_memory(encoded, speakers, languages)
+        mask = jnp.arange(t)[None, :] < text_lengths[:, None]
+
+        rng_tf, rng_steps = jax.random.split(rng)
+        # per-step Bernoulli shared across the batch (tacotron2.py:171)
+        teacher = jax.random.bernoulli(rng_tf, teacher_forcing_ratio, (frames,))
+        # shifted target: frame fed at step i is target[i-1] (zero at i=0)
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(target[:, :1]), target[:, :-1]], axis=1
+        )
+        step_rngs = jax.random.split(rng_steps, frames)
+
+        carry = self.initial_carry(b, t, memory.shape[-1])
+        _, (spec, stops, aligns) = self.cell(
+            carry,
+            teacher,
+            jnp.swapaxes(shifted, 0, 1),   # [F, B, M]
+            step_rngs,
+            memory, memory_transform, mask,
+        )
+        return (
+            jnp.swapaxes(spec, 0, 1),      # [B, F, M]
+            jnp.swapaxes(stops, 0, 1),     # [B, F]
+            jnp.swapaxes(aligns, 0, 1),    # [B, F, T]
+        )
+
+    # -- inference (chunked) ---------------------------------------------------
+
+    def decode_chunk(
+        self,
+        carry: Carry,
+        memory: jnp.ndarray,
+        memory_transform: jnp.ndarray,
+        mask: jnp.ndarray,
+        rng: jax.Array,
+        chunk_frames: int,
+    ) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+        """Run `chunk_frames` free-running steps; the host driver checks the
+        stop tokens between chunks for early exit."""
+        hp = self.hp_model
+        b = memory.shape[0]
+        teacher = jnp.zeros((chunk_frames,), bool)
+        dummy_target = jnp.zeros((chunk_frames, b, hp.num_mels), jnp.float32)
+        step_rngs = jax.random.split(rng, chunk_frames)
+        carry, (spec, stops, aligns) = self.cell(
+            carry, teacher, dummy_target, step_rngs,
+            memory, memory_transform, mask,
+        )
+        return carry, (
+            jnp.swapaxes(spec, 0, 1),
+            jnp.swapaxes(stops, 0, 1),
+            jnp.swapaxes(aligns, 0, 1),
+        )

@@ -1,0 +1,309 @@
+"""Encoders: vanilla BiLSTM, conditional, separate, grouped convolutional,
+and the meta-learning generated convolutional encoder.
+
+Rebuild of ``/root/reference/modules/encoder.py`` with TPU re-designs:
+
+- the packed-sequence BiLSTM becomes ``nn.Bidirectional`` scans with
+  ``seq_lengths`` masking (same semantics: padding contributes nothing and
+  the backward pass starts at each sample's true last token);
+- ``MultiEncoder``'s L independent encoders run as ONE vmapped encoder with
+  a leading language axis (``nn.vmap`` over parameters) instead of a Python
+  loop over modules (modules/encoder.py:87-97);
+- the grouped convolutional encoders keep the reference's
+  ``[B/L, T, L*C]`` grouped layout fed by language-interleaved batches
+  (modules/encoder.py:100-156), which XLA lowers to grouped convs on MXU;
+- inference-time accent control (per-character language weight mixing,
+  modules/encoder.py:136-156) expands the single input across all language
+  groups and mixes outputs with normalized weights.
+
+Reference quirk *not* replicated: MultiEncoder's weight normalization
+``x_langs.sum(2, keepdim=True)[0]`` (modules/encoder.py:89) indexes the
+batch dimension by mistake; here weights are normalized per sample.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multilingual_text_to_speech_tpu.models.layers import (
+    ConvBlock,
+    ConvBlockGenerated,
+    HighwayConvBlock,
+    HighwayConvBlockGenerated,
+)
+
+
+def _normalize_lang_weights(x_langs: jnp.ndarray) -> jnp.ndarray:
+    """Normalize per-character language weights [B, T, L] to sum to 1."""
+    total = jnp.sum(x_langs, axis=2, keepdims=True)
+    return x_langs / jnp.maximum(total, 1e-8)
+
+
+class Encoder(nn.Module):
+    """Vanilla Tacotron 2 encoder: conv stack -> masked BiLSTM
+    (reference: modules/encoder.py:9-45)."""
+
+    output_dim: int
+    num_blocks: int = 3
+    kernel_size: int = 5
+    dropout: float = 0.5
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,               # [B, T, E]
+        x_lengths: jnp.ndarray,       # [B]
+        x_langs: Optional[jnp.ndarray] = None,  # unused (API parity)
+    ) -> jnp.ndarray:
+        assert self.output_dim % 2 == 0
+        for i in range(self.num_blocks):
+            x = ConvBlock(
+                output_channels=self.output_dim,
+                kernel=self.kernel_size,
+                dropout=self.dropout,
+                activation="relu",
+                train=self.train,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x)
+        half = self.output_dim // 2
+        bilstm = nn.Bidirectional(
+            nn.RNN(nn.OptimizedLSTMCell(half, dtype=self.dtype), name="fwd"),
+            nn.RNN(nn.OptimizedLSTMCell(half, dtype=self.dtype), name="bwd"),
+            name="bilstm",
+        )
+        x = bilstm(x, seq_lengths=x_lengths)
+        # zero out padding (pad_packed_sequence parity)
+        t = x.shape[1]
+        mask = jnp.arange(t)[None, :] < x_lengths[:, None]
+        return jnp.where(mask[..., None], x, 0.0)
+
+
+class ConditionalEncoder(nn.Module):
+    """Language embedding concatenated to each character embedding, then a
+    vanilla encoder (reference: modules/encoder.py:48-71)."""
+
+    num_langs: int
+    langs_embedding_dim: int
+    output_dim: int
+    num_blocks: int = 3
+    kernel_size: int = 5
+    dropout: float = 0.5
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_lengths, x_langs):
+        # x_langs: [B, T, L] per-character one-hot/weights -> indices
+        lang_idx = jnp.argmax(x_langs, axis=2)
+        emb = nn.Embed(self.num_langs, self.langs_embedding_dim,
+                       name="language_embedding")(lang_idx)
+        x = jnp.concatenate([x, emb.astype(x.dtype)], axis=-1)
+        return Encoder(
+            self.output_dim, self.num_blocks, self.kernel_size,
+            self.dropout, train=self.train, dtype=self.dtype, name="encoder",
+        )(x, x_lengths)
+
+
+class MultiEncoder(nn.Module):
+    """L language-specific vanilla encoders, outputs mixed by per-character
+    language weights (reference: modules/encoder.py:74-97).
+
+    TPU design: one vmapped encoder with stacked parameters — all languages
+    encode in parallel in a single fused program; the per-character mix is
+    one einsum.
+    """
+
+    num_langs: int
+    output_dim: int
+    num_blocks: int = 3
+    kernel_size: int = 5
+    dropout: float = 0.5
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_lengths, x_langs):
+        VmapEncoder = nn.vmap(
+            Encoder,
+            in_axes=(None, None),          # same inputs for every language
+            out_axes=0,                    # [L, B, T, C]
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True, "dropout": True},
+            axis_size=self.num_langs,
+        )
+        outs = VmapEncoder(
+            self.output_dim, self.num_blocks, self.kernel_size,
+            self.dropout, train=self.train, dtype=self.dtype, name="encoders",
+        )(x, x_lengths)
+        w = _normalize_lang_weights(x_langs)                  # [B, T, L]
+        return jnp.einsum("btl,lbtc->btc", w, outs)
+
+
+class _GroupedConvStack(nn.Module):
+    """The DCTTS-style grouped highway conv topology shared by the plain and
+    generated convolutional encoders (reference: modules/encoder.py:125-130,
+    180-191): 2 ConvBlocks(k=1) + 8 Highway(k=3, dil 3^i twice) +
+    2 Highway(k=3) + 2 Highway(k=1)."""
+
+    input_dim: int     # per-group
+    output_dim: int    # per-group
+    dropout: float
+    groups: int
+    generated: bool = False
+    bottleneck_dim: int = 4
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, embedding=None):
+        g = self.groups
+        cin, cout = self.input_dim * g, self.output_dim * g
+        specs = (
+            [("conv", 1, 1, "relu"), ("conv", 1, 1, "identity")]
+            + [("hw", 3, 3 ** i, "identity") for i in range(4)]
+            + [("hw", 3, 3 ** i, "identity") for i in range(4)]
+            + [("hw", 3, 1, "identity")] * 2
+            + [("hw", 1, 1, "identity")] * 2
+        )
+        for li, (kind, k, dil, act) in enumerate(specs):
+            in_ch = cin if li == 0 else cout
+            if self.generated:
+                cls = ConvBlockGenerated if kind == "conv" else HighwayConvBlockGenerated
+                x = cls(
+                    bottleneck_dim=self.bottleneck_dim,
+                    in_channels=in_ch,
+                    out_channels=cout,
+                    kernel=k,
+                    dropout=self.dropout,
+                    activation=act,
+                    dilation=dil,
+                    groups=g,
+                    train=self.train,
+                    dtype=self.dtype,
+                    name=f"layer{li}",
+                )(embedding, x)
+            else:
+                cls = ConvBlock if kind == "conv" else HighwayConvBlock
+                x = cls(
+                    output_channels=cout,
+                    kernel=k,
+                    dropout=self.dropout,
+                    activation=act,
+                    dilation=dil,
+                    groups=g,
+                    train=self.train,
+                    dtype=self.dtype,
+                    name=f"layer{li}",
+                )(x)
+        return x
+
+
+def _to_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """[B, T, C] with language-interleaved batch -> [B/g, T, g*C].
+
+    Batch entries (k*g + j) for j in 0..g-1 carry language j (the perfect
+    sampler contract, utils/samplers.py:50-67); entry j's channels land in
+    channel block j."""
+    b, t, c = x.shape
+    return jnp.transpose(x.reshape(b // groups, groups, t, c), (0, 2, 1, 3)).reshape(
+        b // groups, t, groups * c
+    )
+
+
+def _from_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """[B/g, T, g*C] -> [B, T, C] (inverse of _to_grouped)."""
+    bg, t, gc = x.shape
+    c = gc // groups
+    return jnp.transpose(x.reshape(bg, t, groups, c), (0, 2, 1, 3)).reshape(
+        bg * groups, t, c
+    )
+
+
+class ConvolutionalEncoder(nn.Module):
+    """Fully convolutional grouped encoder ("separate" strategy when
+    groups = num languages; reference: modules/encoder.py:100-156)."""
+
+    input_dim: int
+    output_dim: int
+    dropout: float = 0.05
+    groups: int = 1
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_lengths=None, x_langs=None):
+        inference_mix = x_langs is not None and x.shape[0] == 1
+        if inference_mix:
+            # batch 1 at inference: replicate across all language groups,
+            # then mix outputs by per-character weights (accent control)
+            x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
+
+        h = _to_grouped(x, self.groups)
+        h = _GroupedConvStack(
+            input_dim=self.input_dim,
+            output_dim=self.output_dim,
+            dropout=self.dropout,
+            groups=self.groups,
+            generated=False,
+            train=self.train,
+            dtype=self.dtype,
+            name="stack",
+        )(h)
+        h = _from_grouped(h, self.groups)
+
+        if inference_mix:
+            w = _normalize_lang_weights(x_langs)  # [1, T, L]
+            h = jnp.einsum("tl,ltc->tc", w[0], h)[None]
+        return h
+
+
+class GeneratedConvolutionalEncoder(nn.Module):
+    """Grouped convolutional encoder whose weights are emitted by a
+    contextual parameter generator conditioned on a learned per-language
+    embedding — the paper's headline meta-learning model
+    (reference: modules/encoder.py:159-221)."""
+
+    input_dim: int
+    output_dim: int
+    dropout: float = 0.05
+    embedding_dim: int = 10     # generator_dim
+    bottleneck_dim: int = 4     # generator_bottleneck_dim
+    groups: int = 1
+    train: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_lengths=None, x_langs=None):
+        inference_mix = x_langs is not None and x.shape[0] == 1
+        if inference_mix:
+            x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
+
+        e = nn.Embed(self.groups, self.embedding_dim, name="generator_embedding")(
+            jnp.arange(self.groups)
+        )
+
+        h = _to_grouped(x, self.groups)
+        h = _GroupedConvStack(
+            input_dim=self.input_dim,
+            output_dim=self.output_dim,
+            dropout=self.dropout,
+            groups=self.groups,
+            generated=True,
+            bottleneck_dim=self.bottleneck_dim,
+            train=self.train,
+            dtype=self.dtype,
+            name="stack",
+        )(h, embedding=e)
+        h = _from_grouped(h, self.groups)
+
+        if inference_mix:
+            w = _normalize_lang_weights(x_langs)
+            h = jnp.einsum("tl,ltc->tc", w[0], h)[None]
+        return h
