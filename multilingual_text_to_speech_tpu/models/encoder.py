@@ -162,7 +162,12 @@ class _GroupedConvStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, embedding=None):
+    def __call__(self, x, embedding=None, mask=None):
+        """``mask``: optional [B/g, T, g*C] zero-mask applied after every
+        block so activations beyond each sample's length stay exactly zero —
+        this makes the stack invariant to bucket padding (each layer then
+        sees zeros beyond the boundary, identical to running at the exact
+        length with zero 'same'-padding)."""
         g = self.groups
         cin, cout = self.input_dim * g, self.output_dim * g
         specs = (
@@ -189,6 +194,8 @@ class _GroupedConvStack(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{li}",
                 )(embedding, x)
+                if mask is not None:
+                    x = x * mask
             else:
                 cls = ConvBlock if kind == "conv" else HighwayConvBlock
                 x = cls(
@@ -202,6 +209,8 @@ class _GroupedConvStack(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{li}",
                 )(x)
+                if mask is not None:
+                    x = x * mask
         return x
 
 
@@ -215,6 +224,20 @@ def _to_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     return jnp.transpose(x.reshape(b // groups, groups, t, c), (0, 2, 1, 3)).reshape(
         b // groups, t, groups * c
     )
+
+
+def _grouped_length_mask(x_lengths, batch: int, time: int,
+                         groups: int, channels: int):
+    """Per-sample length mask in the grouped layout [B/g, T, g*C] (each
+    channel block carries its own sample's mask)."""
+    if x_lengths is None:
+        return None
+    m = (jnp.arange(time)[None, :] < x_lengths[:, None]).astype(jnp.float32)
+    m = m.reshape(batch // groups, groups, time).transpose(0, 2, 1)  # [B/g,T,g]
+    m = jnp.broadcast_to(
+        m[..., None], (batch // groups, time, groups, channels)
+    )
+    return m.reshape(batch // groups, time, groups * channels)
 
 
 def _from_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
@@ -244,7 +267,14 @@ class ConvolutionalEncoder(nn.Module):
             # batch 1 at inference: replicate across all language groups,
             # then mix outputs by per-character weights (accent control)
             x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
+            x_lengths = (
+                jnp.broadcast_to(x_lengths, (self.groups,))
+                if x_lengths is not None else None
+            )
 
+        mask = _grouped_length_mask(
+            x_lengths, x.shape[0], x.shape[1], self.groups, self.output_dim
+        )
         h = _to_grouped(x, self.groups)
         h = _GroupedConvStack(
             input_dim=self.input_dim,
@@ -255,7 +285,7 @@ class ConvolutionalEncoder(nn.Module):
             train=self.train,
             dtype=self.dtype,
             name="stack",
-        )(h)
+        )(h, mask=mask)
         h = _from_grouped(h, self.groups)
 
         if inference_mix:
@@ -284,11 +314,18 @@ class GeneratedConvolutionalEncoder(nn.Module):
         inference_mix = x_langs is not None and x.shape[0] == 1
         if inference_mix:
             x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
+            x_lengths = (
+                jnp.broadcast_to(x_lengths, (self.groups,))
+                if x_lengths is not None else None
+            )
 
         e = nn.Embed(self.groups, self.embedding_dim, name="generator_embedding")(
             jnp.arange(self.groups)
         )
 
+        mask = _grouped_length_mask(
+            x_lengths, x.shape[0], x.shape[1], self.groups, self.output_dim
+        )
         h = _to_grouped(x, self.groups)
         h = _GroupedConvStack(
             input_dim=self.input_dim,
@@ -300,7 +337,7 @@ class GeneratedConvolutionalEncoder(nn.Module):
             train=self.train,
             dtype=self.dtype,
             name="stack",
-        )(h, embedding=e)
+        )(h, embedding=e, mask=mask)
         h = _from_grouped(h, self.groups)
 
         if inference_mix:

@@ -139,15 +139,27 @@ def inverse_mel_spectrogram(s_db, hp, key=None) -> np.ndarray:
 # normalization
 # ---------------------------------------------------------------------------
 
+def _norm_constants(hp, is_mel: bool):
+    stats = hp.mel_normalization() if is_mel else hp.lin_normalization()
+    if stats is None:
+        kind = "mel" if is_mel else "lin"
+        raise ValueError(
+            f"hp.{kind}_normalize_mean/variance are unset — compute them from "
+            "the training set (dataset.get_normalization_constants) or load a "
+            "checkpoint, before normalizing spectrograms."
+        )
+    return stats
+
+
 def normalize_spectrogram(S, hp, is_mel: bool):
     """Per-channel (S - mean) / variance (utils/audio.py:105-108)."""
-    mean, var = (hp.mel_normalization() if is_mel else hp.lin_normalization())
+    mean, var = _norm_constants(hp, is_mel)
     return (S - mean) / var
 
 
 def denormalize_spectrogram(S, hp, is_mel: bool):
     """Per-channel S * variance + mean (utils/audio.py:111-114)."""
-    mean, var = (hp.mel_normalization() if is_mel else hp.lin_normalization())
+    mean, var = _norm_constants(hp, is_mel)
     return S * var + mean
 
 

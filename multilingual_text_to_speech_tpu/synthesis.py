@@ -1,0 +1,215 @@
+"""Synthesis driver: text -> spectrogram -> (Griffin-Lim) waveform.
+
+Rebuild of ``/root/reference/synthesize.py`` including the language-spec
+mini-language for code-switching and accent control (synthesize.py:15-38):
+
+    MONO:                 "id|text"
+    multi:                "id|text|speaker|de"
+    per-character langs:  "id|text|speaker|de-10,fr-9,de"
+    accent blending:      "id|text|speaker|de-10,fr*0.75:de*0.25-9,de"
+
+TPU design: the autoregressive decode runs in fixed-size compiled chunks
+(``hp.decode_chunk_frames``); between chunks the host checks one boolean for
+early stop.  Text is padded to ``hp.bucket_text_multiple`` so the compile
+cache covers all utterance lengths with a handful of programs (the grouped
+encoders are padding-invariant thanks to per-layer length masking).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
+from multilingual_text_to_speech_tpu.ops import audio as audio_ops
+from multilingual_text_to_speech_tpu.text import SymbolTable, clean_text
+from multilingual_text_to_speech_tpu.training.checkpoint import (
+    load_checkpoint,
+    restore_into,
+)
+
+
+def parse_language_spec(spec: str, hp, t_length: int) -> np.ndarray:
+    """Parse the code-switching/accent spec into per-character weights
+    ``[1, T, L]`` (reference: synthesize.py:55-70).
+
+    Segments are ``lang[-length]`` separated by commas; a segment language
+    may be a weighted blend ``l1*w1:l2*w2``; the last segment takes all
+    remaining characters.
+    """
+    num_langs = hp.language_number if hp.language_number else len(hp.languages)
+    weights: List[List[float]] = []
+    remaining = t_length
+    for token in spec.split(","):
+        parts = token.split("-")
+        lang_weights = [0.0] * num_langs
+        for component in parts[0].split(":"):
+            sub = component.split("*")
+            lang_weights[hp.languages.index(sub[0])] = (
+                1.0 if len(sub) == 1 else float(sub[1])
+            )
+        seg_len = int(parts[1]) if len(parts) == 2 else remaining
+        weights += [lang_weights] * seg_len
+        remaining -= seg_len
+    return np.asarray([weights], dtype=np.float32)  # [1, T, L]
+
+
+def _bucket(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class Synthesizer:
+    """Holds an eval-mode model + params and drives chunked decoding.
+
+    Build from a checkpoint (hp embedded, reference build_model parity:
+    utils/__init__.py:29-37) or directly from (hp, variables)."""
+
+    def __init__(self, hp, variables, max_chunks: Optional[int] = None):
+        self.hp = hp
+        self.variables = variables
+        self.model = Tacotron(hp, train=False)
+        self.chunk = int(getattr(hp, "decode_chunk_frames", 64))
+        self.max_chunks = max_chunks or (
+            (hp.max_output_length + self.chunk - 1) // self.chunk
+        )
+        self._encode = jax.jit(
+            functools.partial(self.model.apply,
+                              method=Tacotron.encode_for_inference)
+        )
+        self._decode_chunk = jax.jit(
+            functools.partial(self.model.apply, method=Tacotron.decode_chunk),
+            static_argnames=("chunk_frames",),
+        )
+        self._postnet = jax.jit(
+            functools.partial(self.model.apply, method=Tacotron.apply_postnet)
+        )
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "Synthesizer":
+        payload = load_checkpoint(path)
+        hp = payload["hp"]
+        model = Tacotron(hp, train=False)
+        # build template variables to restore into
+        t = hp.bucket_text_multiple
+        dummy_text = jnp.zeros((1, t), jnp.int32)
+        dummy_target = jnp.zeros((1, hp.bucket_frame_multiple, hp.num_mels))
+        speakers = jnp.zeros((1,), jnp.int32) if hp.multi_speaker else None
+        languages = jnp.zeros((1,), jnp.int32) if hp.multi_language else None
+        template = model.init(
+            jax.random.PRNGKey(0), dummy_text, jnp.asarray([t]), dummy_target,
+            jnp.asarray([hp.bucket_frame_multiple]), speakers, languages,
+            0.0, jax.random.PRNGKey(0),
+        )
+        restored = restore_into(
+            payload,
+            params=template["params"],
+            batch_stats=template.get("batch_stats", {}),
+        )
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+        return cls(hp, variables, **kwargs)
+
+    # -- core ----------------------------------------------------------------
+
+    def spectrogram_from_ids(
+        self,
+        sequence: np.ndarray,                 # [T] int
+        speaker: Optional[int] = None,
+        language_weights: Optional[np.ndarray] = None,  # [1, T, L]
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Run encoder + chunked AR decode + postnet; returns the
+        DENORMALIZED spectrogram in reference layout [bins, frames]."""
+        hp = self.hp
+        t = len(sequence)
+        t_pad = _bucket(t, hp.bucket_text_multiple)
+
+        text = np.zeros((1, t_pad), np.int32)
+        text[0, :t] = sequence
+        lang = None
+        if language_weights is not None:
+            lang = np.zeros((1, t_pad, language_weights.shape[2]), np.float32)
+            lang[:, :t] = language_weights
+            # padding needs a nonzero weight row for normalization stability
+            lang[:, t:] = language_weights[:, -1:]
+        spk = (
+            jnp.asarray([speaker], jnp.int32) if speaker is not None else None
+        )
+
+        memory, mt, mask, carry = self._encode(
+            self.variables, jnp.asarray(text), jnp.asarray([t]), spk,
+            jnp.asarray(lang) if lang is not None else None,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        frames: List[np.ndarray] = []
+        total = 0
+        for i in range(self.max_chunks):
+            key, sub = jax.random.split(key)
+            carry, (spec, stop, _) = self._decode_chunk(
+                self.variables, carry, memory, mt, mask, sub,
+                chunk_frames=self.chunk,
+            )
+            stop_np = np.asarray(jax.nn.sigmoid(stop[0]))
+            spec_np = np.asarray(spec[0])
+            hit = np.where(stop_np >= 0.5)[0]
+            if len(hit):
+                # emit hp.stop_frames frames after the first stop
+                # (reference: tacotron2.py:200-207)
+                cut = min(int(hit[0]) + 1 + hp.stop_frames, spec_np.shape[0])
+                frames.append(spec_np[:cut])
+                total += cut
+                break
+            frames.append(spec_np)
+            total += spec_np.shape[0]
+            if total >= hp.max_output_length:
+                break
+
+        pre = np.concatenate(frames, axis=0)[None]           # [1, F, M]
+        f_pad = _bucket(pre.shape[1], hp.bucket_frame_multiple)
+        pre_padded = np.zeros((1, f_pad, pre.shape[2]), np.float32)
+        pre_padded[:, : pre.shape[1]] = pre
+        post = self._postnet(
+            self.variables, jnp.asarray(pre_padded),
+            jnp.asarray([pre.shape[1]]),
+        )
+        post = np.asarray(post[0, : pre.shape[1]]).T          # [bins, F]
+
+        if hp.normalize_spectrogram:
+            post = audio_ops.denormalize_spectrogram(
+                post, hp, not hp.predict_linear
+            )
+        return post
+
+    def synthesize_line(self, input_line: str, seed: int = 0) -> np.ndarray:
+        """Process one stdin-format line (reference: synthesize.py:41-84)."""
+        hp = self.hp
+        item = input_line.split("|")
+        text = clean_text(item[1], hp)
+        table = SymbolTable(hp)
+        sequence = np.asarray(table.encode(text), np.int32)
+
+        language_weights = None
+        if hp.multi_language:
+            language_weights = parse_language_spec(
+                item[3], hp, len(text) + 1
+            )
+        speaker = None
+        if hp.multi_speaker:
+            speaker = list(hp.unique_speakers).index(item[2])
+
+        return self.spectrogram_from_ids(
+            sequence, speaker, language_weights, seed
+        )
+
+    def vocode(self, spectrogram_db: np.ndarray, seed: int = 0) -> np.ndarray:
+        """Griffin-Lim spectrogram -> waveform (reference: synthesize.py:132)."""
+        return audio_ops.inverse_spectrogram(
+            spectrogram_db, self.hp, mel=not self.hp.predict_linear,
+            key=jax.random.PRNGKey(seed),
+        )

@@ -1,0 +1,148 @@
+"""Synthesis driver tests: language-spec mini-language, chunked decoding,
+checkpoint->Synthesizer round trip, CLI smoke."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from multilingual_text_to_speech_tpu.config import HParams
+from multilingual_text_to_speech_tpu.data import TextToSpeechDatasetCollection
+from multilingual_text_to_speech_tpu.parallel import make_mesh
+from multilingual_text_to_speech_tpu.synthesis import (
+    Synthesizer,
+    parse_language_spec,
+)
+from multilingual_text_to_speech_tpu.training import Trainer
+
+from tests.corpus_utils import build_corpus_with_metafiles, tiny_model_hp
+
+
+def spec_hp():
+    hp = HParams()
+    hp.languages = ["de", "fr", "zh"]
+    hp.language_number = 3
+    return hp
+
+
+def test_parse_language_spec_simple():
+    w = parse_language_spec("de", spec_hp(), 5)
+    assert w.shape == (1, 5, 3)
+    np.testing.assert_allclose(w[0, :, 0], 1.0)
+    np.testing.assert_allclose(w[0, :, 1:], 0.0)
+
+
+def test_parse_language_spec_segments():
+    # "de-10,fr-9,de": first 10 chars de, next 9 fr, rest de
+    w = parse_language_spec("de-2,fr-3,de", spec_hp(), 7)
+    assert w.shape == (1, 7, 3)
+    np.testing.assert_allclose(w[0, :2, 0], 1.0)
+    np.testing.assert_allclose(w[0, 2:5, 1], 1.0)
+    np.testing.assert_allclose(w[0, 5:, 0], 1.0)
+
+
+def test_parse_language_spec_blend():
+    w = parse_language_spec("de-1,fr*0.75:zh*0.25-2,de", spec_hp(), 4)
+    np.testing.assert_allclose(w[0, 0], [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(w[0, 1], [0.0, 0.75, 0.25])
+    np.testing.assert_allclose(w[0, 2], [0.0, 0.75, 0.25])
+    np.testing.assert_allclose(w[0, 3], [1.0, 0.0, 0.0])
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    """Train a tiny model briefly and save a checkpoint."""
+    root = str(tmp_path_factory.mktemp("corpus"))
+    hp = tiny_model_hp(
+        languages=["german", "french"],
+        multi_language=True,
+        multi_speaker=True,
+        speaker_embedding_dimension=4,
+        language_embedding_dimension=2,
+        encoder_type="generated",
+        balanced_sampling=True,
+        perfect_sampling=True,
+        batch_size=4,
+        case_sensitive=False,
+        decode_chunk_frames=16,
+        max_output_length=64,
+    )
+    build_corpus_with_metafiles(root, hp, n_per_lang=4)
+    data = TextToSpeechDatasetCollection(root, hp)
+    mesh = make_mesh(devices=jax.devices()[:1])
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    trainer = Trainer(hp, data, checkpoint_dir=ckpt_dir, mesh=mesh, seed=0)
+    trainer.train_epoch()
+    path = trainer.save(1.0)
+    return path, hp
+
+
+def test_synthesizer_from_checkpoint(trained_checkpoint):
+    path, hp = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=3)
+    # hp embedded in the checkpoint is self-contained
+    assert synth.hp.languages == ["german", "french"]
+    assert synth.hp.unique_speakers == ["french", "german"]
+
+    spec = synth.synthesize_line("01|hallo welt|german|german")
+    assert spec.shape[0] == hp.num_mels   # [bins, F] reference layout
+    assert spec.shape[1] >= 1
+    assert np.isfinite(spec).all()
+
+
+def test_synthesizer_code_switching(trained_checkpoint):
+    path, _ = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=2)
+    spec = synth.synthesize_line(
+        "02|hallo welt|german|german-5,french*0.7:german*0.3-4,german"
+    )
+    assert np.isfinite(spec).all()
+
+
+def test_synthesizer_vocode(trained_checkpoint):
+    path, _ = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=2)
+    spec = synth.synthesize_line("03|hallo|german|german")
+    wav = synth.vocode(spec)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.isfinite(wav).all()
+
+
+def test_cli_synthesize_smoke(trained_checkpoint, tmp_path, monkeypatch):
+    from multilingual_text_to_speech_tpu.cli import synthesize as cli
+
+    path, _ = trained_checkpoint
+    out = str(tmp_path / "out")
+    monkeypatch.setattr(
+        "sys.stdin", io.StringIO("07|hallo welt|german|german\n")
+    )
+    cli.main(["--checkpoint", path, "--output", out, "--save_spec"])
+    assert os.path.exists(os.path.join(out, "07.npy"))
+    assert os.path.exists(os.path.join(out, "07.wav"))
+    spec = np.load(os.path.join(out, "07.npy"))
+    assert spec.shape[0] == 20  # num_mels, reference layout
+
+
+def test_cli_gta_smoke(trained_checkpoint, tmp_path, monkeypatch, tmp_path_factory):
+    # gta needs data_root/<dataset>/train.txt; rebuild dataset layout
+    from multilingual_text_to_speech_tpu.cli import gta as cli
+
+    path, hp = trained_checkpoint
+    # corpus root was created under the dataset name 'ljspeech' default; use
+    # a dedicated layout: data_root/<hp.dataset>
+    root = str(tmp_path / "data" / hp.dataset)
+    os.makedirs(root, exist_ok=True)
+    build_corpus_with_metafiles(root, hp.copy(), n_per_lang=2, val_every=4)
+
+    out = str(tmp_path / "gta_out")
+    cli.main([
+        "--checkpoint", path, "--output", out,
+        "--data_root", str(tmp_path / "data"), "--batch_size", "2",
+    ])
+    files = os.listdir(out)
+    assert len(files) >= 1
+    mel = np.load(os.path.join(out, sorted(files)[0]))
+    assert mel.shape[0] == 20
