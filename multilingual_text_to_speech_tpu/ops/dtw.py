@@ -17,12 +17,22 @@ import numpy as np
 def dtw_path(x: np.ndarray, y: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Minimal-cost alignment path between frame sequences.
 
+    Uses the native C kernel (multilingual_text_to_speech_tpu/native/dtw.c)
+    when the system compiler is available; falls back to this numpy
+    implementation otherwise.
+
     Arguments:
         x -- [T1, D] frames
         y -- [T2, D] frames
     Returns:
         (path_x, path_y) index arrays of equal length.
     """
+    from multilingual_text_to_speech_tpu.native import dtw_path_native
+
+    native = dtw_path_native(np.asarray(x), np.asarray(y))
+    if native is not None:
+        return native
+
     t1, t2 = len(x), len(y)
     # pairwise Euclidean distances [T1, T2]
     dist = np.sqrt(
