@@ -224,7 +224,12 @@ class Trainer:
             )
 
     def _train_batches(self):
-        return batch_iterator(self.data.train, self.train_sampler, self.collate)
+        from multilingual_text_to_speech_tpu.data.prefetch import prefetch
+
+        return prefetch(
+            batch_iterator(self.data.train, self.train_sampler, self.collate),
+            depth=2,
+        )
 
     def _eval_batches(self):
         return batch_iterator(self.data.dev, self.eval_sampler, self.collate)
@@ -332,12 +337,27 @@ class Trainer:
 
     # -- epoch loops ---------------------------------------------------------------
 
-    def train_epoch(self, logging_start_epoch: int = 0) -> int:
-        """One training epoch (reference: train.py:29-95). Returns steps run."""
+    def train_epoch(self, logging_start_epoch: int = 0,
+                    profile_steps: int = 0,
+                    profile_dir: Optional[str] = None) -> int:
+        """One training epoch (reference: train.py:29-95). Returns steps run.
+
+        With ``profile_steps > 0`` a jax.profiler trace of that many steps is
+        written to ``profile_dir`` (the TPU build's answer to the reference's
+        lone per-step duration scalar; SURVEY.md §5 tracing).
+        """
         hp = self.hp
         steps = 0
         t0 = time.time()
+        profiling = False
         for batch in self._train_batches():
+            if profile_steps and steps == 0:
+                jax.profiler.start_trace(
+                    profile_dir or os.path.join(
+                        self.logger.log_dir if self.logger else ".", "profile"
+                    )
+                )
+                profiling = True
             step = int(self.state.step)
             tf = teacher_forcing_ratio(hp, step)
             ga_active = 1.0 if self.loss_state.guided_att_steps > 0 else 0.0
@@ -363,6 +383,16 @@ class Trainer:
             self.loss_state = self.loss_state.update()
             t0 = time.time()
             steps += 1
+            if profiling and steps >= profile_steps:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready()
+                    if hasattr(x, "block_until_ready") else x,
+                    self.state.params,
+                )
+                jax.profiler.stop_trace()
+                profiling = False
+        if profiling:
+            jax.profiler.stop_trace()
         return steps
 
     def evaluate(self) -> float:
