@@ -71,7 +71,11 @@ class Synthesizer:
     def __init__(self, hp, variables, max_chunks: Optional[int] = None):
         self.hp = hp
         self.variables = variables
-        self.model = Tacotron(hp, train=False)
+        compute_dtype = (
+            jnp.bfloat16 if getattr(hp, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        self.model = Tacotron(hp, train=False, dtype=compute_dtype)
         self.chunk = int(getattr(hp, "decode_chunk_frames", 64))
         self.max_chunks = max_chunks or (
             (hp.max_output_length + self.chunk - 1) // self.chunk

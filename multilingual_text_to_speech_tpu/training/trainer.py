@@ -125,8 +125,12 @@ class Trainer:
                     hp.lin_normalize_mean, hp.lin_normalize_variance = mean, var
 
         self.mesh = mesh if mesh is not None else make_mesh(hp)
-        self.model_train = Tacotron(hp, train=True)
-        self.model_eval = Tacotron(hp, train=False)
+        compute_dtype = (
+            jnp.bfloat16 if getattr(hp, "compute_dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
+        self.model_train = Tacotron(hp, train=True, dtype=compute_dtype)
+        self.model_eval = Tacotron(hp, train=False, dtype=compute_dtype)
         self.loss_state = TacotronLossState.init(hp)
         self.tx = make_optimizer(hp)
         self.epoch = 0
