@@ -143,6 +143,9 @@ _DEFAULTS: Dict[str, Any] = {
     # Compute dtype for matmul-heavy paths ('bfloat16' or 'float32').
     # Parameters and loss accumulation stay float32.
     "compute_dtype": "bfloat16",
+    # Fused Pallas TPU kernel for the location-sensitive attention step
+    # (ops/pallas_attention.py). CPU/interpret fallback exists for tests.
+    "use_pallas_attention": False,
     # Device mesh axis sizes: data parallel x model (language-group) parallel.
     "mesh_data_parallel": -1,  # -1 = all devices
     "mesh_model_parallel": 1,

@@ -52,12 +52,20 @@ class LocationSensitiveAttention(nn.Module):
 
     Energy = v . tanh(W_q q + W_m m + W_l conv(cumulative_weights) + b);
     state carries the cumulative weights.
+
+    With ``use_pallas=True`` (and softmax normalization) the whole step —
+    location conv, projections, energy, masked softmax, context matvec —
+    runs as one fused VMEM-resident Pallas kernel
+    (ops/pallas_attention.py), eliminating the intermediate HBM traffic
+    inside the AR decode scan.
     """
 
     representation_dim: int = 128
     kernel_size: int = 31
     location_channels: int = 32
     smoothing: bool = False
+    use_pallas: bool = False
+    pallas_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -71,21 +79,46 @@ class LocationSensitiveAttention(nn.Module):
         prev_decoder_output: jnp.ndarray,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, AttState]:
         cum_weights = state["weights"]
+        a = self.representation_dim
 
-        q = nn.Dense(self.representation_dim, use_bias=False,
-                     dtype=self.dtype, name="query")(query)[:, None, :]
-        loc = nn.Conv(self.location_channels, (self.kernel_size,),
-                      padding=[((self.kernel_size - 1) // 2,) * 2],
-                      use_bias=False, dtype=self.dtype,
-                      name="loc_features")(cum_weights[..., None])
-        loc = nn.Dense(self.representation_dim, use_bias=False,
-                       dtype=self.dtype, name="location")(loc)
-        bias = self.param("bias", nn.initializers.zeros,
-                          (1, self.representation_dim))
+        wq = self.param("query_kernel", nn.initializers.lecun_normal(),
+                        (query.shape[-1], a))
+        loc_filter = self.param(
+            "loc_filter", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.location_channels))
+        wl = self.param("location_kernel", nn.initializers.lecun_normal(),
+                        (self.location_channels, a))
+        bias = self.param("bias", nn.initializers.zeros, (1, a))
+        v = self.param("energy_kernel", nn.initializers.lecun_normal(),
+                       (a, 1))
+
+        if self.use_pallas and not self.smoothing:
+            from multilingual_text_to_speech_tpu.ops.pallas_attention import (
+                fused_attention_step,
+            )
+
+            q_pre = query.astype(jnp.float32) @ wq + bias
+            context, weights, new_cum = fused_attention_step(
+                q_pre, memory, memory_transform, cum_weights, mask,
+                loc_filter[:, 0, :], wl, v,
+                kernel_size=self.kernel_size,
+                interpret=self.pallas_interpret,
+            )
+            return context, weights, {"weights": new_cum}
+
+        q = (query.astype(self.dtype) @ wq.astype(self.dtype))[:, None, :]
+        loc = jax.lax.conv_general_dilated(
+            cum_weights[..., None].astype(self.dtype),
+            loc_filter.astype(self.dtype),
+            window_strides=(1,),
+            padding=[((self.kernel_size - 1) // 2,) * 2],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        loc = loc @ wl.astype(self.dtype)
         energy = jnp.tanh(
             (q + memory_transform + loc).astype(jnp.float32) + bias
         )
-        energy = nn.Dense(1, use_bias=False, name="energy")(energy)[..., 0]
+        energy = (energy @ v)[..., 0]
 
         energy = jnp.where(mask, energy, _NEG_INF)
         if self.smoothing:
@@ -94,7 +127,8 @@ class LocationSensitiveAttention(nn.Module):
         else:
             weights = jax.nn.softmax(energy, axis=-1)
 
-        context = jnp.einsum("bt,btm->bm", weights, memory)
+        context = jnp.einsum("bt,btm->bm", weights,
+                             memory.astype(jnp.float32))
         return context, weights, {"weights": cum_weights + weights}
 
 

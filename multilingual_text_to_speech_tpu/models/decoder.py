@@ -65,6 +65,7 @@ def _make_attention(attention_type: str, hp_like, dtype):
             kernel_size=hp_like.attention_kernel_size,
             location_channels=hp_like.attention_location_dimension,
             smoothing=False,
+            use_pallas=bool(getattr(hp_like, "use_pallas_attention", False)),
             dtype=dtype,
             name="attention",
         )
@@ -216,7 +217,10 @@ class Decoder(nn.Module):
         if hp.multi_language and hp.language_embedding_dimension > 0:
             emb = self.language_embedding(expand(languages))
             memory = jnp.concatenate([memory, emb.astype(memory.dtype)], axis=-1)
-        return memory, self.memory_proj(memory)
+        # the scan re-reads memory/memory_transform every frame: keep them in
+        # the compute dtype to halve the per-step HBM traffic
+        memory = memory.astype(self.dtype)
+        return memory, self.memory_proj(memory).astype(self.dtype)
 
     def initial_carry(self, batch_size: int, max_len: int,
                       memory_dim: int) -> Carry:
