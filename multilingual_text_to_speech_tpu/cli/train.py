@@ -30,7 +30,19 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None,
                         help="Override hp.epochs.")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--distributed", action="store_true",
+                        help="Multi-host training: initialize the JAX "
+                             "distributed runtime (DCN across slices; set "
+                             "COORDINATOR_ADDRESS / process env as usual).")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="Trace this many steps of the first epoch with "
+                             "jax.profiler.")
     args = parser.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
 
     from multilingual_text_to_speech_tpu.config import HParams
     from multilingual_text_to_speech_tpu.data import TextToSpeechDatasetCollection
@@ -80,6 +92,10 @@ def main(argv=None):
         seed=args.seed,
         from_checkpoint=checkpoint_path,
     )
+    if args.profile_steps:
+        trainer.train_epoch(args.logging_start,
+                            profile_steps=args.profile_steps)
+        trainer.epoch += 1
     trainer.fit(epochs=args.epochs, logging_start_epoch=args.logging_start)
 
 
