@@ -118,5 +118,96 @@ def main():
     }))
 
 
+def train_bench():
+    """Secondary benchmark (``python bench.py --train``): full training-step
+    throughput on the flagship model — forward, composite loss, grads, clip,
+    Adam — in utterance-seconds of audio trained per wall second."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _flagship_hp, _make_batch
+    from multilingual_text_to_speech_tpu.models.tacotron import (
+        Tacotron,
+        tacotron_loss,
+    )
+    from multilingual_text_to_speech_tpu.training.trainer import make_optimizer
+
+    hp = _flagship_hp()
+    model = Tacotron(hp, train=True, dtype=jnp.bfloat16)
+    batch, text_len, frames = 50, 128, 512  # generated_switching batch size
+
+    arrays = _make_batch(hp, batch, text_len, frames)
+    (text, text_lengths, target, target_lengths, stop,
+     speakers, languages) = arrays
+
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(
+        key, text, text_lengths, target, target_lengths, speakers, languages,
+        1.0, key,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, rng):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                text, text_lengths, target, target_lengths,
+                speakers, languages, 1.0, rng,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(rng, 1)},
+            )
+            total, _ = tacotron_loss(
+                out, hp=hp, input_lengths=text_lengths,
+                target_lengths=target_lengths, pre_target=target,
+                post_target=target, stop_target=stop, speakers=speakers,
+                guided_att_variance=0.25,
+            )
+            return total, mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (loss, optax.apply_updates(params, updates),
+                mut.get("batch_stats", batch_stats), new_opt)
+
+    loss, params, batch_stats, opt_state = train_step(
+        params, batch_stats, opt_state, key)
+    float(loss)  # force warmup
+
+    one = jax.jit(lambda x: x + 1)
+    float(one(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(one(jnp.float32(0)))
+    latency = (time.perf_counter() - t0) / 5
+
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        loss, params, batch_stats, opt_state = train_step(
+            params, batch_stats, opt_state, jax.random.PRNGKey(i + 1))
+        float(loss)
+        times.append(time.perf_counter() - t0)
+
+    best = max(min(times) - latency, 1e-6)
+    # 512 frames/utt at 80 frames/s = 6.4 s of audio per stream
+    audio_secs = batch * frames / 80.0
+    print(json.dumps({
+        "metric": "train_step_throughput",
+        "value": round(audio_secs / best, 2),
+        "unit": "audio_seconds_trained_per_sec_per_chip",
+        "vs_baseline": round(best, 4),  # raw step seconds for reference
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--train":
+        train_bench()
+    else:
+        main()

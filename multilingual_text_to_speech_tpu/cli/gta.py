@@ -34,6 +34,7 @@ def main(argv=None):
 
     from multilingual_text_to_speech_tpu.data import (
         Collate,
+        PerfectBatchSampler,
         SimpleBatchSampler,
         TextToSpeechDataset,
     )
@@ -59,8 +60,18 @@ def main(argv=None):
             if not hp.multi_speaker or it["speaker"] in wanted
         ]
 
-    sampler = SimpleBatchSampler(len(dataset), args.batch_size,
-                                 shuffle=False, drop_last=False)
+    # grouped encoders need language-interleaved batches divisible by L
+    # (reference: gta.py:64-70 uses the perfect sampler too)
+    if hp.multi_language and hp.encoder_type in ("convolutional", "generated"):
+        n_langs = len(hp.languages)
+        batch = max(args.batch_size // n_langs, 1) * n_langs
+        sampler = PerfectBatchSampler(
+            [it["language"] for it in dataset.items], n_langs, batch,
+            shuffle=False, drop_last=False,
+        )
+    else:
+        sampler = SimpleBatchSampler(len(dataset), args.batch_size,
+                                     shuffle=False, drop_last=False)
     collate = Collate(hp)
 
     forward = jax.jit(model.apply)

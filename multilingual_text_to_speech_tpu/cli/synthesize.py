@@ -32,6 +32,9 @@ def main(argv=None):
                         help="Also save spectrograms as .npy.")
     parser.add_argument("--ignore_wav", action="store_true",
                         help="Skip Griffin-Lim waveform rendering.")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="Synthesize this many stdin lines per batched "
+                             "decode (the reference is batch-1).")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -50,17 +53,29 @@ def main(argv=None):
     inputs = [line.rstrip() for line in sys.stdin.readlines() if line.strip()]
     os.makedirs(args.output, exist_ok=True)
 
-    for i, item in enumerate(inputs):
-        item_id = item.split("|")[0] or str(i)
-        print(f"Synthesizing {i + 1}/{len(inputs)}: {item!r}", file=sys.stderr)
-        spec = synth.synthesize_line(item, seed=args.seed + i)
-
+    def emit(item, spec, seed):
+        item_id = item.split("|")[0] or "out"
         if args.save_spec:
             np.save(os.path.join(args.output, f"{item_id}.npy"), spec)
         if not args.ignore_wav:
-            wav = synth.vocode(spec, seed=args.seed + i)
+            wav = synth.vocode(spec, seed=seed)
             save_wav(wav, os.path.join(args.output, f"{item_id}.wav"),
                      synth.hp.sample_rate)
+
+    if args.batch_size > 1:
+        for start in range(0, len(inputs), args.batch_size):
+            group = inputs[start : start + args.batch_size]
+            print(f"Synthesizing batch {start}..{start + len(group) - 1}",
+                  file=sys.stderr)
+            specs = synth.synthesize_batch_lines(group, seed=args.seed + start)
+            for j, (item, spec) in enumerate(zip(group, specs)):
+                emit(item, spec, args.seed + start + j)
+    else:
+        for i, item in enumerate(inputs):
+            print(f"Synthesizing {i + 1}/{len(inputs)}: {item!r}",
+                  file=sys.stderr)
+            spec = synth.synthesize_line(item, seed=args.seed + i)
+            emit(item, spec, args.seed + i)
 
 
 if __name__ == "__main__":

@@ -226,6 +226,29 @@ def _to_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     )
 
 
+def _expand_for_mixing(x, x_lengths, groups: int):
+    """Replicate every sample across all language groups for inference-time
+    accent mixing: out[b*g + j] = x[b] (language-interleaved layout where
+    sample b's replicas occupy one group row)."""
+    b, t, c = x.shape
+    x = jnp.broadcast_to(x[:, None], (b, groups, t, c)).reshape(
+        b * groups, t, c)
+    if x_lengths is not None:
+        x_lengths = jnp.broadcast_to(
+            x_lengths[:, None], (b, groups)).reshape(b * groups)
+    return x, x_lengths
+
+
+def _mix_grouped_outputs(h, x_langs, groups: int):
+    """h [B*g, T, C] (sample-major replicas) + weights [B, T, L] ->
+    weighted per-character mix [B, T, C]."""
+    bg, t, c = h.shape
+    b = bg // groups
+    h = h.reshape(b, groups, t, c)
+    w = _normalize_lang_weights(x_langs)          # [B, T, L]
+    return jnp.einsum("btl,bltc->btc", w, h)
+
+
 def _grouped_length_mask(x_lengths, batch: int, time: int,
                          groups: int, channels: int):
     """Per-sample length mask in the grouped layout [B/g, T, g*C] (each
@@ -262,15 +285,13 @@ class ConvolutionalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_lengths=None, x_langs=None):
-        inference_mix = x_langs is not None and x.shape[0] == 1
+        # x_langs given => inference accent mixing (any batch size):
+        # replicate every sample across all language groups, then mix the
+        # per-group outputs with the per-character weights (the reference
+        # supports this for batch 1 only; modules/encoder.py:136-156)
+        inference_mix = x_langs is not None
         if inference_mix:
-            # batch 1 at inference: replicate across all language groups,
-            # then mix outputs by per-character weights (accent control)
-            x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
-            x_lengths = (
-                jnp.broadcast_to(x_lengths, (self.groups,))
-                if x_lengths is not None else None
-            )
+            x, x_lengths = _expand_for_mixing(x, x_lengths, self.groups)
 
         mask = _grouped_length_mask(
             x_lengths, x.shape[0], x.shape[1], self.groups, self.output_dim
@@ -289,8 +310,7 @@ class ConvolutionalEncoder(nn.Module):
         h = _from_grouped(h, self.groups)
 
         if inference_mix:
-            w = _normalize_lang_weights(x_langs)  # [1, T, L]
-            h = jnp.einsum("tl,ltc->tc", w[0], h)[None]
+            h = _mix_grouped_outputs(h, x_langs, self.groups)
         return h
 
 
@@ -311,13 +331,9 @@ class GeneratedConvolutionalEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_lengths=None, x_langs=None):
-        inference_mix = x_langs is not None and x.shape[0] == 1
+        inference_mix = x_langs is not None
         if inference_mix:
-            x = jnp.broadcast_to(x, (self.groups,) + x.shape[1:])
-            x_lengths = (
-                jnp.broadcast_to(x_lengths, (self.groups,))
-                if x_lengths is not None else None
-            )
+            x, x_lengths = _expand_for_mixing(x, x_lengths, self.groups)
 
         e = nn.Embed(self.groups, self.embedding_dim, name="generator_embedding")(
             jnp.arange(self.groups)
@@ -341,6 +357,5 @@ class GeneratedConvolutionalEncoder(nn.Module):
         h = _from_grouped(h, self.groups)
 
         if inference_mix:
-            w = _normalize_lang_weights(x_langs)
-            h = jnp.einsum("tl,ltc->tc", w[0], h)[None]
+            h = _mix_grouped_outputs(h, x_langs, self.groups)
         return h

@@ -153,7 +153,10 @@ class Tacotron(nn.Module):
 
     # -- shared encode path ----------------------------------------------------
 
-    def _encode(self, text, text_lengths, languages):
+    def _encode(self, text, text_lengths, languages, mix_languages=False):
+        """``mix_languages``: inference-time accent mixing for the grouped
+        convolutional encoders (training uses the language-interleaved
+        grouped-batch contract instead and must NOT mix)."""
         hp = self.hp
         b, t = text.shape
         langs_w = _languages_to_weights(
@@ -162,8 +165,10 @@ class Tacotron(nn.Module):
         embedded = self.embedding(text)
         # padding_idx=0 parity: PAD positions embed to zero
         embedded = jnp.where((text != 0)[..., None], embedded, 0.0)
+        grouped = hp.encoder_type in ("convolutional", "generated")
+        encoder_langs = langs_w if (mix_languages or not grouped) else None
         encoded = self.encoder(
-            embedded.astype(self.dtype), text_lengths, langs_w
+            embedded.astype(self.dtype), text_lengths, encoder_langs
         )
         return encoded.astype(jnp.float32), langs_w
 
@@ -181,7 +186,8 @@ class Tacotron(nn.Module):
         rng: jax.Array,
     ) -> Dict[str, jnp.ndarray]:
         hp = self.hp
-        encoded, langs_w = self._encode(text, text_lengths, languages)
+        encoded, langs_w = self._encode(text, text_lengths, languages,
+                                        mix_languages=False)
 
         speaker_prediction = (
             self.classifier(encoded) if hp.reversal_classifier else None
@@ -223,7 +229,8 @@ class Tacotron(nn.Module):
     ):
         """Encode + prepare decoder memory; returns everything decode_chunk
         needs (reference: tacotron2.py:387-403)."""
-        encoded, langs_w = self._encode(text, text_lengths, languages)
+        encoded, langs_w = self._encode(text, text_lengths, languages,
+                                        mix_languages=True)
         lang_idx = jnp.argmax(langs_w, axis=2) if langs_w is not None else None
         memory, memory_transform = self.decoder.prepare_memory(
             encoded, speakers, lang_idx

@@ -97,15 +97,17 @@ class Synthesizer:
         payload = load_checkpoint(path)
         hp = payload["hp"]
         model = Tacotron(hp, train=False)
-        # build template variables to restore into
+        # build template variables to restore into; the grouped encoders'
+        # training contract needs a language-interleaved batch of size L
+        b = max(hp.language_number, 1) if hp.multi_language else 1
         t = hp.bucket_text_multiple
-        dummy_text = jnp.zeros((1, t), jnp.int32)
-        dummy_target = jnp.zeros((1, hp.bucket_frame_multiple, hp.num_mels))
-        speakers = jnp.zeros((1,), jnp.int32) if hp.multi_speaker else None
-        languages = jnp.zeros((1,), jnp.int32) if hp.multi_language else None
-        template = model.init(
-            jax.random.PRNGKey(0), dummy_text, jnp.asarray([t]), dummy_target,
-            jnp.asarray([hp.bucket_frame_multiple]), speakers, languages,
+        dummy_text = jnp.zeros((b, t), jnp.int32)
+        dummy_target = jnp.zeros((b, hp.bucket_frame_multiple, hp.num_mels))
+        speakers = jnp.zeros((b,), jnp.int32) if hp.multi_speaker else None
+        languages = jnp.arange(b, dtype=jnp.int32) if hp.multi_language else None
+        template = jax.jit(model.init)(
+            jax.random.PRNGKey(0), dummy_text, jnp.full((b,), t), dummy_target,
+            jnp.full((b,), hp.bucket_frame_multiple), speakers, languages,
             0.0, jax.random.PRNGKey(0),
         )
         restored = restore_into(
@@ -189,6 +191,114 @@ class Synthesizer:
                 post, hp, not hp.predict_linear
             )
         return post
+
+    def spectrograms_from_batch(
+        self,
+        sequences,                      # list of [T_i] int arrays
+        speakers=None,                  # list of ints or None
+        language_weights=None,          # list of [1, T_i, L] or None
+        seed: int = 0,
+    ):
+        """Batched synthesis — the TPU-native upgrade over the reference's
+        batch-1 loop (synthesize.py:112-123): all utterances decode together
+        in compiled chunks; each sample is cropped at its own stop token.
+        Returns a list of denormalized [bins, F_i] spectrograms."""
+        hp = self.hp
+        b = len(sequences)
+        t_pad = _bucket(max(len(s) for s in sequences), hp.bucket_text_multiple)
+
+        text = np.zeros((b, t_pad), np.int32)
+        lengths = np.zeros(b, np.int32)
+        for i, seq in enumerate(sequences):
+            text[i, : len(seq)] = seq
+            lengths[i] = len(seq)
+
+        lang = None
+        if language_weights is not None:
+            num_l = language_weights[0].shape[2]
+            lang = np.zeros((b, t_pad, num_l), np.float32)
+            for i, w in enumerate(language_weights):
+                lang[i, : w.shape[1]] = w[0]
+                lang[i, w.shape[1]:] = w[0, -1]  # nonzero rows in padding
+        spk = (
+            jnp.asarray(speakers, jnp.int32) if speakers is not None else None
+        )
+
+        memory, mt, mask, carry = self._encode(
+            self.variables, jnp.asarray(text), jnp.asarray(lengths), spk,
+            jnp.asarray(lang) if lang is not None else None,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        chunks: List[np.ndarray] = []
+        stop_at = np.full(b, -1, np.int64)   # absolute frame of first stop
+        total = 0
+        for _ in range(self.max_chunks):
+            key, sub = jax.random.split(key)
+            carry, (spec, stop, _) = self._decode_chunk(
+                self.variables, carry, memory, mt, mask, sub,
+                chunk_frames=self.chunk,
+            )
+            chunks.append(np.asarray(spec))
+            stop_np = np.asarray(jax.nn.sigmoid(stop)) >= 0.5  # [B, chunk]
+            for i in range(b):
+                if stop_at[i] < 0:
+                    hit = np.where(stop_np[i])[0]
+                    if len(hit):
+                        stop_at[i] = total + int(hit[0])
+            total += self.chunk
+            pending = stop_at < 0
+            done_enough = (~pending) & (stop_at + 1 + hp.stop_frames <= total)
+            if done_enough.all() or total >= hp.max_output_length:
+                break
+
+        pre = np.concatenate(chunks, axis=1)   # [B, F_total, M]
+        cuts = np.where(
+            stop_at >= 0,
+            np.minimum(stop_at + 1 + hp.stop_frames, pre.shape[1]),
+            pre.shape[1],
+        ).astype(np.int64)
+
+        # batched postnet at one padded length, then per-sample crop
+        f_pad = _bucket(int(cuts.max()), hp.bucket_frame_multiple)
+        pre_padded = np.zeros((b, f_pad, pre.shape[2]), np.float32)
+        for i in range(b):
+            pre_padded[i, : cuts[i]] = pre[i, : cuts[i]]
+        post = np.asarray(self._postnet(
+            self.variables, jnp.asarray(pre_padded), jnp.asarray(cuts)
+        ))
+
+        out = []
+        for i in range(b):
+            spec = post[i, : cuts[i]].T      # [bins, F_i]
+            if hp.normalize_spectrogram:
+                spec = audio_ops.denormalize_spectrogram(
+                    spec, hp, not hp.predict_linear
+                )
+            out.append(spec)
+        return out
+
+    def synthesize_batch_lines(self, lines, seed: int = 0):
+        """Parse stdin-format lines and synthesize them as ONE batch."""
+        hp = self.hp
+        table = SymbolTable(hp)
+        sequences, speakers, weights = [], [], []
+        for line in lines:
+            item = line.split("|")
+            text = clean_text(item[1], hp)
+            sequences.append(np.asarray(table.encode(text), np.int32))
+            if hp.multi_language:
+                weights.append(
+                    parse_language_spec(item[3], hp, len(text) + 1)
+                )
+            if hp.multi_speaker:
+                speakers.append(list(hp.unique_speakers).index(item[2]))
+        return self.spectrograms_from_batch(
+            sequences,
+            speakers if hp.multi_speaker else None,
+            weights if hp.multi_language else None,
+            seed,
+        )
 
     def synthesize_line(self, input_line: str, seed: int = 0) -> np.ndarray:
         """Process one stdin-format line (reference: synthesize.py:41-84)."""

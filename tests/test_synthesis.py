@@ -146,3 +146,37 @@ def test_cli_gta_smoke(trained_checkpoint, tmp_path, monkeypatch, tmp_path_facto
     assert len(files) >= 1
     mel = np.load(os.path.join(out, sorted(files)[0]))
     assert mel.shape[0] == 20
+
+
+def test_synthesizer_batched(trained_checkpoint):
+    """Batched synthesis matches the per-line path's shapes and crops each
+    sample at its own stop."""
+    path, hp = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=3)
+    lines = [
+        "b1|hallo welt|german|german",
+        "b2|guten tag wie geht|french|french-7,german",
+        "b3|danke|german|german*0.5:french*0.5",
+    ]
+    specs = synth.synthesize_batch_lines(lines)
+    assert len(specs) == 3
+    for spec in specs:
+        assert spec.shape[0] == hp.num_mels
+        assert spec.shape[1] >= 1
+        assert np.isfinite(spec).all()
+
+
+def test_cli_synthesize_batched(trained_checkpoint, tmp_path, monkeypatch):
+    from multilingual_text_to_speech_tpu.cli import synthesize as cli
+
+    path, _ = trained_checkpoint
+    out = str(tmp_path / "out_b")
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO("x1|hallo welt|german|german\n"
+                    "x2|guten tag|french|french\n"),
+    )
+    cli.main(["--checkpoint", path, "--output", out, "--save_spec",
+              "--ignore_wav", "--batch_size", "2"])
+    assert os.path.exists(os.path.join(out, "x1.npy"))
+    assert os.path.exists(os.path.join(out, "x2.npy"))
