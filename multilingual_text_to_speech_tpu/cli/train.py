@@ -17,6 +17,9 @@ def main(argv=None):
                         help="Base directory of the project.")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="Name of the initial checkpoint.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Auto-resume from the newest checkpoint in the "
+                             "checkpoint directory (crash recovery).")
     parser.add_argument("--checkpoint_root", type=str, default="checkpoints",
                         help="Base directory of checkpoints.")
     parser.add_argument("--data_root", type=str, default="data",
@@ -56,7 +59,16 @@ def main(argv=None):
     # checkpoint hp first, then optional JSON overlay for fine-tuning
     hp = HParams()
     checkpoint_path = None
-    if args.checkpoint:
+    if args.resume and not args.checkpoint:
+        from multilingual_text_to_speech_tpu.training.checkpoint import (
+            find_latest_checkpoint,
+        )
+
+        checkpoint_path = find_latest_checkpoint(checkpoint_dir)
+        if checkpoint_path:
+            print(f"Resuming from {checkpoint_path}")
+            hp = load_checkpoint(checkpoint_path)["hp"]
+    elif args.checkpoint:
         checkpoint_path = os.path.join(checkpoint_dir, args.checkpoint)
         hp = load_checkpoint(checkpoint_path)["hp"]
     if args.hyper_parameters is not None:

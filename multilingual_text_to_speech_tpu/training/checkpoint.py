@@ -70,6 +70,22 @@ def _merge_matching(template, loaded):
     return loaded
 
 
+def find_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Newest checkpoint file in a directory (automatic crash recovery —
+    the reference requires naming the file manually, README.md:125-131)."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    candidates = [
+        os.path.join(checkpoint_dir, f)
+        for f in os.listdir(checkpoint_dir)
+        if not f.endswith(".tmp") and
+        os.path.isfile(os.path.join(checkpoint_dir, f))
+    ]
+    if not candidates:
+        return None
+    return max(candidates, key=os.path.getmtime)
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Read the raw checkpoint payload (hp decoded into an HParams)."""
     with open(path, "rb") as f:

@@ -179,3 +179,50 @@ def test_trainer_data_parallel_8dev(tmp_path_factory):
         float(sum(jnp.sum(jnp.abs(x))
                   for x in jax.tree_util.tree_leaves(trainer.state.params)))
     )
+
+
+def test_find_latest_checkpoint(tmp_path):
+    import time as _time
+
+    from multilingual_text_to_speech_tpu.training.checkpoint import (
+        find_latest_checkpoint,
+    )
+
+    d = str(tmp_path)
+    assert find_latest_checkpoint(d) is None
+    (tmp_path / "ckpt_a").write_bytes(b"1")
+    _time.sleep(0.01)
+    (tmp_path / "ckpt_b").write_bytes(b"2")
+    (tmp_path / "ckpt_c.tmp").write_bytes(b"3")  # in-flight writes skipped
+    assert find_latest_checkpoint(d).endswith("ckpt_b")
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+
+    from multilingual_text_to_speech_tpu.training.orbax_io import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    hp = tiny_model_hp()
+    params = {"dense": {"kernel": np.random.randn(3, 4).astype(np.float32)}}
+    stats = {"bn": {"mean": np.zeros(4, np.float32)}}
+    opt = {"count": np.zeros((), np.int32)}
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(
+        path, epoch=2, step=17, params=params, batch_stats=stats,
+        opt_state=opt, hp=hp,
+        criterion_state={"guided_att_variance": 0.3, "guided_att_steps": 9,
+                         "guided_att_gamma": 1.0},
+    )
+    restored, meta = load_checkpoint_orbax(
+        path, params=jax.tree_util.tree_map(np.zeros_like, params),
+        batch_stats=jax.tree_util.tree_map(np.zeros_like, stats),
+        opt_state=jax.tree_util.tree_map(np.zeros_like, opt),
+    )
+    np.testing.assert_allclose(
+        restored["params"]["dense"]["kernel"], params["dense"]["kernel"]
+    )
+    assert meta["epoch"] == 2 and meta["step"] == 17
+    assert meta["hp"].num_mels == hp.num_mels
