@@ -68,8 +68,17 @@ def main(argv=None):
             print(f"Synthesizing batch {start}..{start + len(group) - 1}",
                   file=sys.stderr)
             specs = synth.synthesize_batch_lines(group, seed=args.seed + start)
-            for j, (item, spec) in enumerate(zip(group, specs)):
-                emit(item, spec, args.seed + start + j)
+            wavs = (
+                synth.vocode_batch(specs, seed=args.seed + start)
+                if not args.ignore_wav else [None] * len(specs)
+            )
+            for item, spec, wav in zip(group, specs, wavs):
+                item_id = item.split("|")[0] or "out"
+                if args.save_spec:
+                    np.save(os.path.join(args.output, f"{item_id}.npy"), spec)
+                if wav is not None:
+                    save_wav(wav, os.path.join(args.output, f"{item_id}.wav"),
+                             synth.hp.sample_rate)
     else:
         for i, item in enumerate(inputs):
             print(f"Synthesizing {i + 1}/{len(inputs)}: {item!r}",

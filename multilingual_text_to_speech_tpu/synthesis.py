@@ -49,13 +49,36 @@ def parse_language_spec(spec: str, hp, t_length: int) -> np.ndarray:
         lang_weights = [0.0] * num_langs
         for component in parts[0].split(":"):
             sub = component.split("*")
+            if sub[0] not in hp.languages:
+                raise ValueError(
+                    f"unknown language '{sub[0]}' in spec '{spec}'; "
+                    f"this model knows {hp.languages}"
+                )
             lang_weights[hp.languages.index(sub[0])] = (
                 1.0 if len(sub) == 1 else float(sub[1])
             )
         seg_len = int(parts[1]) if len(parts) == 2 else remaining
         weights += [lang_weights] * seg_len
         remaining -= seg_len
+    if remaining > 0:
+        raise ValueError(
+            f"language spec '{spec}' covers {t_length - remaining} of "
+            f"{t_length} characters — the last segment should omit its "
+            "length to take the remainder"
+        )
     return np.asarray([weights], dtype=np.float32)  # [1, T, L]
+
+
+
+def _speaker_index(hp, name: str) -> int:
+    """Speaker name -> index with a helpful error (reference indexes blindly,
+    synthesize.py:74)."""
+    speakers = list(getattr(hp, "unique_speakers", []))
+    if name not in speakers:
+        raise ValueError(
+            f"unknown speaker '{name}'; this model knows {speakers}"
+        )
+    return speakers.index(name)
 
 
 def _bucket(n: int, multiple: int) -> int:
@@ -292,7 +315,7 @@ class Synthesizer:
                     parse_language_spec(item[3], hp, len(text) + 1)
                 )
             if hp.multi_speaker:
-                speakers.append(list(hp.unique_speakers).index(item[2]))
+                speakers.append(_speaker_index(hp, item[2]))
         return self.spectrograms_from_batch(
             sequences,
             speakers if hp.multi_speaker else None,
@@ -315,7 +338,7 @@ class Synthesizer:
             )
         speaker = None
         if hp.multi_speaker:
-            speaker = list(hp.unique_speakers).index(item[2])
+            speaker = _speaker_index(hp, item[2])
 
         return self.spectrogram_from_ids(
             sequence, speaker, language_weights, seed
@@ -327,3 +350,22 @@ class Synthesizer:
             spectrogram_db, self.hp, mel=not self.hp.predict_linear,
             key=jax.random.PRNGKey(seed),
         )
+
+    def vocode_batch(self, spectrograms, seed: int = 0):
+        """Batched Griffin-Lim over a list of [bins, F_i] spectrograms —
+        one vmapped device program, cropped per sample."""
+        hp = self.hp
+        hop = audio_ops.ms_to_frames(hp.stft_shift_ms, hp)
+        frames = [s.shape[1] for s in spectrograms]
+        f_max = max(frames)
+        bins = spectrograms[0].shape[0]
+        batch = np.full(
+            (len(spectrograms), bins, f_max),
+            -100.0, np.float32,  # silence padding in dB
+        )
+        for i, s in enumerate(spectrograms):
+            batch[i, :, : s.shape[1]] = s
+        wavs = audio_ops.inverse_spectrogram_batch(
+            batch, hp, mel=not hp.predict_linear, key=jax.random.PRNGKey(seed)
+        )
+        return [w[: hop * max(f - 1, 1)] for w, f in zip(wavs, frames)]

@@ -231,3 +231,25 @@ def test_trim_silence():
     # keeps the tone, drops most of the silence
     assert len(trimmed) < len(y) * 0.6
     assert len(trimmed) >= len(tone) * 0.9
+
+
+def test_inverse_spectrogram_batch():
+    hp = HParams()
+    hp.use_preemphasis = False
+    hp.griffin_lim_iters = 8
+    sr = hp.sample_rate
+    t = np.arange(sr // 4) / sr
+    tones = [440.0, 880.0]
+    specs = np.stack([
+        audio.spectrogram((0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32),
+                          hp, mel=False)
+        for f in tones
+    ])
+    wavs = audio.inverse_spectrogram_batch(specs, hp, mel=False,
+                                           key=jax.random.PRNGKey(0))
+    assert wavs.shape[0] == 2
+    for i, f in enumerate(tones):
+        S2 = audio.spectrogram(wavs[i].astype(np.float32), hp, mel=False)
+        peak = int(S2.mean(axis=1).argmax())
+        expected = int(round(f * hp.num_fft / sr))
+        assert abs(peak - expected) <= 1, (f, peak, expected)

@@ -180,3 +180,18 @@ def test_cli_synthesize_batched(trained_checkpoint, tmp_path, monkeypatch):
               "--ignore_wav", "--batch_size", "2"])
     assert os.path.exists(os.path.join(out, "x1.npy"))
     assert os.path.exists(os.path.join(out, "x2.npy"))
+
+
+def test_parse_language_spec_errors():
+    hp = spec_hp()
+    with pytest.raises(ValueError, match="unknown language 'xx'"):
+        parse_language_spec("xx", hp, 5)
+    with pytest.raises(ValueError, match="covers 3 of 5"):
+        parse_language_spec("de-1,fr-2", hp, 5)
+
+
+def test_unknown_speaker_error(trained_checkpoint):
+    path, _ = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=1)
+    with pytest.raises(ValueError, match="unknown speaker 'NOPE'"):
+        synth.synthesize_line("e|hallo|NOPE|german")
