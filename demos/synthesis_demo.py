@@ -73,6 +73,15 @@ def main(argv=None):
         f"switched|{args.text}|{speaker}|{lang_a}-{half},{lang_b}",
     ))
 
+    # cross-lingual voice cloning: the same text + language rendered in every
+    # speaker's voice (the paper's voice-cloning synthesis use case)
+    if hp.multi_speaker:
+        for spk in hp.unique_speakers:
+            lines.append((
+                f"voice_{spk}",
+                f"voice_{spk}|{args.text}|{spk}|{lang_a}",
+            ))
+
     for name, line in lines:
         print(f"Rendering {name}: {line}")
         if hp.multi_language:
