@@ -103,6 +103,7 @@ def main(argv=None):
         log_dir=os.path.join(args.base_directory, "logs"),
         seed=args.seed,
         from_checkpoint=checkpoint_path,
+        flush_seconds=args.flush_seconds,
     )
     if args.profile_steps:
         trainer.train_epoch(args.logging_start,

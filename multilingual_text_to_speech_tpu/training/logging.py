@@ -70,12 +70,15 @@ class MetricsLogger:
                    predicted_spec: Optional[np.ndarray] = None,
                    stop_probs: Optional[np.ndarray] = None,
                    audio: Optional[np.ndarray] = None,
+                   source_text: Optional[str] = None,
                    sample_rate: int = 22050):
         """Per-epoch eval logging (reference: utils/logging.py:74-137)."""
         rec = {
             "kind": "eval", "epoch": epoch, "mcd": float(mcd),
             "total_loss": float(sum(losses.values())),
         }
+        if source_text is not None:
+            rec["source_text"] = source_text
         for k, v in losses.items():
             rec[f"loss_{k}"] = float(v)
         if classifier_acc:
@@ -111,6 +114,8 @@ class MetricsLogger:
                     self._tb.add_figure(
                         "Eval/stop_tokens", _plot_curve(stop_probs), epoch,
                     )
+                if source_text is not None:
+                    self._tb.add_text("Eval/source_text", source_text, epoch)
                 if audio is not None:
                     import torch
 

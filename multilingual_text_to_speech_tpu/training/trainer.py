@@ -101,7 +101,8 @@ class Trainer:
     def __init__(self, hp, dataset_collection, *, base_directory: str = ".",
                  checkpoint_dir: Optional[str] = None,
                  log_dir: Optional[str] = None, seed: int = 42,
-                 mesh=None, from_checkpoint: Optional[str] = None):
+                 mesh=None, from_checkpoint: Optional[str] = None,
+                 flush_seconds: int = 60):
         self.hp = hp
         self.data = dataset_collection
         self.rng = jax.random.PRNGKey(seed)
@@ -185,7 +186,8 @@ class Trainer:
         if log_dir is not None:
             stamp = datetime.datetime.now().strftime("%Y-%m-%d_%H%M%S")
             self.logger = MetricsLogger(
-                os.path.join(log_dir, f"{hp.version}-{stamp}")
+                os.path.join(log_dir, f"{hp.version}-{stamp}"),
+                flush_seconds=flush_seconds,
             )
         self.checkpoint_dir = checkpoint_dir
         if checkpoint_dir:
@@ -460,9 +462,14 @@ class Trainer:
             eval_losses[k] /= max(n_batches, 1)
 
         if self.logger is not None and last is not None:
+            from multilingual_text_to_speech_tpu.text import SymbolTable
+
             batch, out_forced, out_free, stop_probs_np = last
             idx = 0
             f_len = int(batch.spectrogram_lengths[idx])
+            source_text = SymbolTable(hp).decode(
+                np.asarray(batch.utterances[idx])
+            )
             self.logger.evaluation(
                 self.epoch + 1, eval_losses, mcd, cla,
                 alignment=np.asarray(out_free["alignment"][idx]),
@@ -471,6 +478,7 @@ class Trainer:
                     out_forced["post_prediction"][idx][:f_len]
                 ),
                 stop_probs=stop_probs_np[idx],
+                source_text=source_text,
                 sample_rate=hp.sample_rate,
             )
         return float(sum(eval_losses.values()))

@@ -208,3 +208,20 @@ def test_batch_iterator(corpus):
     assert len(batches) == 3
     for b in batches:
         assert list(b.languages) == [0, 1]  # interleaved
+
+
+def test_uncached_spectrogram_computation(corpus):
+    """cache_spectrograms=False computes spectrograms from audio on the fly
+    (reference: dataset/dataset.py:145-152)."""
+    root, hp = corpus
+    hp2 = hp.copy()
+    hp2.normalize_spectrogram = False
+    hp2.cache_spectrograms = False
+    ds = TextToSpeechDataset(os.path.join(root, "train.txt"), root, hp2)
+    _, _, _, mel_live, _ = ds[0]
+    hp3 = hp.copy()
+    hp3.normalize_spectrogram = False
+    ds_cached = TextToSpeechDataset(os.path.join(root, "train.txt"), root, hp3)
+    _, _, _, mel_cached, _ = ds_cached[0]
+    assert mel_live.shape == mel_cached.shape
+    np.testing.assert_allclose(mel_live, mel_cached, atol=1e-3)
