@@ -71,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.dtw_path_from_dist.restype = ctypes.c_int
+        lib.dtw_path_from_dist.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
         _LIB = lib
     except OSError:
         _BUILD_FAILED = True
@@ -82,7 +88,8 @@ def native_dtw_available() -> bool:
 
 
 def dtw_path_native(x: np.ndarray, y: np.ndarray):
-    """Exact DTW path via the C kernel; returns (path_x, path_y) or None when
+    """Exact DTW path: pairwise distances via one BLAS matmul (numpy), then
+    the serial DP + backtrack in C; returns (path_x, path_y) or None when
     the native library is unavailable."""
     lib = _load()
     if lib is None:
@@ -92,12 +99,20 @@ def dtw_path_native(x: np.ndarray, y: np.ndarray):
     t1, d = x.shape
     t2, d2 = y.shape
     assert d == d2, "frame dimensions must match"
+
+    # Euclidean distance matrix in one shot: much faster than per-cell loops
+    sq = (
+        (x * x).sum(1)[:, None] + (y * y).sum(1)[None, :]
+        - 2.0 * (x @ y.T)
+    )
+    dist = np.sqrt(np.maximum(sq, 0.0), dtype=np.float32)
+    dist = np.ascontiguousarray(dist, dtype=np.float32)
+
     path_x = np.empty(t1 + t2, dtype=np.int32)
     path_y = np.empty(t1 + t2, dtype=np.int32)
-    n = lib.dtw_path(
-        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        t1, t2, d,
+    n = lib.dtw_path_from_dist(
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        t1, t2,
         path_x.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         path_y.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
     )
