@@ -84,7 +84,7 @@ def main():
         acc = None
         for _ in range(n_chunks):
             k, sub = jax.random.split(k)
-            carry, (spec, stop, _) = decode_chunk(
+            carry, (spec, stop) = decode_chunk(
                 variables, carry, memory, mt, mask, sub
             )
             s = spec[0, -1, 0]

@@ -180,7 +180,7 @@ class Synthesizer:
         total = 0
         for i in range(self.max_chunks):
             key, sub = jax.random.split(key)
-            carry, (spec, stop, _) = self._decode_chunk(
+            carry, (spec, stop) = self._decode_chunk(
                 self.variables, carry, memory, mt, mask, sub,
                 chunk_frames=self.chunk,
             )
@@ -258,7 +258,7 @@ class Synthesizer:
         total = 0
         for _ in range(self.max_chunks):
             key, sub = jax.random.split(key)
-            carry, (spec, stop, _) = self._decode_chunk(
+            carry, (spec, stop) = self._decode_chunk(
                 self.variables, carry, memory, mt, mask, sub,
                 chunk_frames=self.chunk,
             )

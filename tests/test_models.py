@@ -388,7 +388,7 @@ def test_tacotron_inference_chunks():
     )
     chunks = []
     for i in range(3):
-        carry, (spec, stop, align) = model.apply(
+        carry, (spec, stop) = model.apply(
             variables, carry, memory, mt, mask, jax.random.PRNGKey(i), 4,
             method=Tacotron.decode_chunk,
         )
