@@ -16,23 +16,29 @@ from glob import glob
 
 
 def trim_tree(root: str, top_db: float = 50.0, window_ms: float = 25.0,
-              hop_ms: float = 10.0, sample_rate: int = 22050,
+              hop_ms: float = 10.0, sample_rate: int | None = None,
               suffix: str = ".wav") -> int:
+    """Trim every wav under ``root`` in place, preserving each file's OWN
+    sample rate (like the reference's sox pipeline, which never resamples).
+    Pass ``sample_rate`` to instead fail loudly on any file at another rate."""
     from multilingual_text_to_speech_tpu.config import HParams
     from multilingual_text_to_speech_tpu.ops.audio import trim_silence
-    from multilingual_text_to_speech_tpu.ops.io import load_wav, save_wav
+    from multilingual_text_to_speech_tpu.ops.io import load_wav_with_rate, save_wav
 
     hp = HParams()
-    hp.sample_rate = sample_rate
-
     count = 0
     for path in glob(os.path.join(root, "**", f"*{suffix}"), recursive=True):
-        data = load_wav(path)
+        data, sr = load_wav_with_rate(path)
+        if sample_rate is not None and sr != sample_rate:
+            raise ValueError(
+                f"{path}: sample rate {sr} != required {sample_rate}"
+            )
+        hp.sample_rate = sr  # window/hop ms->samples at the file's true rate
         trimmed, (start, end) = trim_silence(
             data, window_ms, hop_ms, hp, top_db=top_db
         )
         if len(trimmed) and len(trimmed) < len(data):
-            save_wav(trimmed, path, sample_rate)
+            save_wav(trimmed, path, sr)
             count += 1
     return count
 
@@ -43,7 +49,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", type=str, required=True)
     parser.add_argument("--top_db", type=float, default=50.0)
-    parser.add_argument("--sample_rate", type=int, default=22050)
+    parser.add_argument("--sample_rate", type=int, default=None,
+                        help="if set, fail on files at any other rate "
+                             "(default: keep each file's own rate)")
     args = parser.parse_args(argv)
 
     n = trim_tree(args.root, args.top_db, sample_rate=args.sample_rate)

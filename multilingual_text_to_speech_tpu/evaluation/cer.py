@@ -27,30 +27,48 @@ PUNCTUATIONS_IN = "'-"
 
 
 def levenshtein(u: str, v: str) -> Tuple[int, Tuple[int, int, int]]:
-    """Edit distance with (substitutions, deletions, insertions) counts
-    (reference: cer_computer.py:21-43)."""
-    prev = None
-    curr = [0] + list(range(1, len(v) + 1))
-    prev_ops = None
-    curr_ops: List = [(0, 0, i) for i in range(len(v) + 1)]
-    for x in range(1, len(u) + 1):
-        prev, curr = curr, [x] + [None] * len(v)
-        prev_ops, curr_ops = curr_ops, [(0, x, 0)] + [None] * len(v)
-        for y in range(1, len(v) + 1):
-            delcost = prev[y] + 1
-            addcost = curr[y - 1] + 1
-            subcost = prev[y - 1] + int(u[x - 1] != v[y - 1])
-            curr[y] = min(subcost, delcost, addcost)
-            if curr[y] == subcost:
-                n_s, n_d, n_i = prev_ops[y - 1]
-                curr_ops[y] = (n_s + int(u[x - 1] != v[y - 1]), n_d, n_i)
-            elif curr[y] == delcost:
-                n_s, n_d, n_i = prev_ops[y]
-                curr_ops[y] = (n_s, n_d + 1, n_i)
-            else:
-                n_s, n_d, n_i = curr_ops[y - 1]
-                curr_ops[y] = (n_s, n_d, n_i + 1)
-    return curr[len(v)], curr_ops[len(v)]
+    """Edit distance with (substitutions, deletions, insertions) counts.
+
+    Numpy DP: each row of the [len(u)+1, len(v)+1] distance matrix is filled
+    vectorized — deletion/substitution candidates come straight from the
+    previous row, and the sequential insertion recurrence
+    ``d[i,j] = min(base[j], d[i,j-1]+1)`` collapses into a prefix minimum of
+    ``base - j`` (insertions add +1 per column, so shifting by the column
+    index turns the running minimum into an ``accumulate``).  The op split
+    is recovered by backtracking with the same preference order the
+    reference uses (substitution, deletion, insertion;
+    cer_computer.py:21-43), so counts match it exactly.
+    """
+    n, m = len(u), len(v)
+    cols = np.arange(m + 1)
+    mismatch = np.not_equal(
+        np.frombuffer(u.encode("utf-32-le"), np.uint32)[:, None],
+        np.frombuffer(v.encode("utf-32-le"), np.uint32)[None, :],
+    ).astype(np.int64) if n and m else np.zeros((n, m), np.int64)
+
+    dist = np.empty((n + 1, m + 1), np.int64)
+    dist[0] = cols
+    for i in range(1, n + 1):
+        base = np.empty(m + 1, np.int64)
+        base[0] = i
+        base[1:] = np.minimum(dist[i - 1, 1:] + 1,          # deletion
+                              dist[i - 1, :-1] + mismatch[i - 1])  # subst.
+        dist[i] = np.minimum.accumulate(base - cols) + cols  # insertions
+
+    subs = dels = ins = 0
+    i, j = n, m
+    while i > 0 or j > 0:
+        here = dist[i, j]
+        if i > 0 and j > 0 and here == dist[i - 1, j - 1] + mismatch[i - 1, j - 1]:
+            subs += int(mismatch[i - 1, j - 1])
+            i, j = i - 1, j - 1
+        elif i > 0 and here == dist[i - 1, j] + 1:
+            dels += 1
+            i -= 1
+        else:
+            ins += 1
+            j -= 1
+    return int(dist[n, m]), (subs, dels, ins)
 
 
 def sample_cer(reference: str, hypothesis: str) -> float:

@@ -371,11 +371,17 @@ def tacotron_loss(
         )
 
     if hp.guided_attention_loss:
-        ga = guided_attention_loss(
-            outputs["alignment"], input_lengths, target_lengths,
-            guided_att_variance,
-        )
-        losses["guided_att"] = ga * guided_att_active
+        if isinstance(guided_att_active, (bool, int)) and not guided_att_active:
+            # Static (Python) False: skip the [B, F, T] penalty entirely, like
+            # the reference after guided_att_steps expire (tacotron2.py:444) —
+            # XLA can then drop the alignment stacking from the train step.
+            losses["guided_att"] = jnp.zeros(())
+        else:
+            ga = guided_attention_loss(
+                outputs["alignment"], input_lengths, target_lengths,
+                guided_att_variance,
+            )
+            losses["guided_att"] = ga * guided_att_active
 
     total = sum(losses.values())
     return total, losses

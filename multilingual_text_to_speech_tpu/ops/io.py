@@ -11,6 +11,12 @@ import numpy as np
 from scipy.io import wavfile
 
 
+def load_wav_with_rate(path: str) -> tuple[np.ndarray, int]:
+    """Read a wav file into float32 in [-1, 1) plus its own sample rate."""
+    sr, data = wavfile.read(path)
+    return _normalize_pcm(data), int(sr)
+
+
 def load_wav(path: str, expected_sample_rate: int | None = None) -> np.ndarray:
     """Read a wav file into float32 in [-1, 1); assert sample rate matches."""
     sr, data = wavfile.read(path)
@@ -18,6 +24,10 @@ def load_wav(path: str, expected_sample_rate: int | None = None) -> np.ndarray:
         assert sr == expected_sample_rate, (
             f"Sample rate mismatch: expected {expected_sample_rate}, got {sr}"
         )
+    return _normalize_pcm(data)
+
+
+def _normalize_pcm(data: np.ndarray) -> np.ndarray:
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:

@@ -17,6 +17,10 @@ def make_mesh(hp=None, devices=None) -> Mesh:
     (DataParallel over GPUs) expressed as SPMD sharding.
     """
     devices = devices if devices is not None else jax.devices()
+    if hp is not None and not getattr(hp, "parallelization", True):
+        # reference semantics: parallelization=False disables DataParallel
+        # (train.py:255-256) — here it pins the mesh to a single device
+        devices = devices[:1]
     n = len(devices)
     model = getattr(hp, "mesh_model_parallel", 1) if hp is not None else 1
     data = getattr(hp, "mesh_data_parallel", -1) if hp is not None else -1

@@ -60,6 +60,13 @@ def parse_language_spec(spec: str, hp, t_length: int) -> np.ndarray:
         seg_len = int(parts[1]) if len(parts) == 2 else remaining
         weights += [lang_weights] * seg_len
         remaining -= seg_len
+        if remaining < 0:
+            # checked per segment: a trailing remainder segment would
+            # otherwise absorb the deficit and silently emit extra rows
+            raise ValueError(
+                f"language spec '{spec}' covers {t_length - remaining} "
+                f"characters but the text has only {t_length}"
+            )
     if remaining > 0:
         raise ValueError(
             f"language spec '{spec}' covers {t_length - remaining} of "

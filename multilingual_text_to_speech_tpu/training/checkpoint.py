@@ -70,16 +70,34 @@ def _merge_matching(template, loaded):
     return loaded
 
 
+def _is_checkpoint_file(path: str) -> bool:
+    """Cheap validity probe: the payload is a msgpack map whose first key is
+    one of the five sections — a stray file in the directory must not be
+    picked up as 'the checkpoint' (it would fail much later with an opaque
+    msgpack error)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(64)
+    except OSError:
+        return False
+    if not head or not (0x80 <= head[0] <= 0x8F or head[0] in (0xDE, 0xDF)):
+        return False  # not a msgpack map (fixmap/map16/map32)
+    # msgpack sorts keys: "criterion" leads in this format's payloads
+    return any(k in head for k in (b"criterion", b"epoch", b"model"))
+
+
 def find_latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Newest checkpoint file in a directory (automatic crash recovery —
-    the reference requires naming the file manually, README.md:125-131)."""
+    the reference requires naming the file manually, README.md:125-131).
+    Non-checkpoint files (logs, temp files) are skipped."""
     if not os.path.isdir(checkpoint_dir):
         return None
     candidates = [
         os.path.join(checkpoint_dir, f)
         for f in os.listdir(checkpoint_dir)
         if not f.endswith(".tmp") and
-        os.path.isfile(os.path.join(checkpoint_dir, f))
+        os.path.isfile(os.path.join(checkpoint_dir, f)) and
+        _is_checkpoint_file(os.path.join(checkpoint_dir, f))
     ]
     if not candidates:
         return None

@@ -25,6 +25,8 @@ class MetricsLogger:
         self.log_dir = log_dir
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a",
                            encoding="utf-8")
+        self._flush_seconds = flush_seconds
+        self._last_flush = time.time()
         self._tb = None
         try:  # TensorBoard writer is optional
             from torch.utils.tensorboard import SummaryWriter
@@ -53,6 +55,12 @@ class MetricsLogger:
         if classifier_acc:
             rec["classifier_acc"] = float(classifier_acc)
         self._jsonl.write(json.dumps(rec) + "\n")
+        # periodic flush so a mid-epoch crash (the auto-resume case) keeps
+        # the epoch's train metrics on disk
+        now = time.time()
+        if now - self._last_flush >= self._flush_seconds:
+            self._jsonl.flush()
+            self._last_flush = now
 
         self._scalar("Train/loss_total", total, step)
         for k, v in losses.items():
@@ -68,8 +76,11 @@ class MetricsLogger:
                    alignment: Optional[np.ndarray] = None,
                    target_spec: Optional[np.ndarray] = None,
                    predicted_spec: Optional[np.ndarray] = None,
+                   forced_spec: Optional[np.ndarray] = None,
                    stop_probs: Optional[np.ndarray] = None,
-                   audio: Optional[np.ndarray] = None,
+                   stop_target: Optional[np.ndarray] = None,
+                   audio_generated: Optional[np.ndarray] = None,
+                   audio_forced: Optional[np.ndarray] = None,
                    source_text: Optional[str] = None,
                    sample_rate: int = 22050):
         """Per-epoch eval logging (reference: utils/logging.py:74-137)."""
@@ -83,8 +94,13 @@ class MetricsLogger:
             rec[f"loss_{k}"] = float(v)
         if classifier_acc:
             rec["classifier_acc"] = float(classifier_acc)
+        if audio_generated is not None:
+            rec["audio_generated_samples"] = int(np.size(audio_generated))
+        if audio_forced is not None:
+            rec["audio_forced_samples"] = int(np.size(audio_forced))
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
+        self._last_flush = time.time()
 
         self._scalar("Eval/loss_total", rec["total_loss"], epoch)
         for k, v in losses.items():
@@ -107,22 +123,30 @@ class MetricsLogger:
                     )
                 if predicted_spec is not None:
                     self._tb.add_figure(
-                        "Eval/prediction",
-                        _plot_matrix(predicted_spec.T, "prediction"), epoch,
+                        "Predicted/generated",
+                        _plot_matrix(predicted_spec.T, "generated"), epoch,
+                    )
+                if forced_spec is not None:
+                    self._tb.add_figure(
+                        "Predicted/forced",
+                        _plot_matrix(forced_spec.T, "forced"), epoch,
                     )
                 if stop_probs is not None:
                     self._tb.add_figure(
-                        "Eval/stop_tokens", _plot_curve(stop_probs), epoch,
+                        "Eval/stop_tokens",
+                        _plot_curve(stop_probs, stop_target), epoch,
                     )
                 if source_text is not None:
                     self._tb.add_text("Eval/source_text", source_text, epoch)
-                if audio is not None:
-                    import torch
+                for tag, wav in (("Audio/generated", audio_generated),
+                                 ("Audio/forced", audio_forced)):
+                    if wav is not None:
+                        import torch
 
-                    self._tb.add_audio(
-                        "Eval/audio", torch.from_numpy(np.asarray(audio)),
-                        epoch, sample_rate=sample_rate,
-                    )
+                        self._tb.add_audio(
+                            tag, torch.from_numpy(np.asarray(wav)),
+                            epoch, sample_rate=sample_rate,
+                        )
             except Exception:
                 pass
 
@@ -155,14 +179,17 @@ def _plot_matrix(matrix: np.ndarray, title: str):
     return fig
 
 
-def _plot_curve(values: np.ndarray):
+def _plot_curve(values: np.ndarray, target: Optional[np.ndarray] = None):
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(8, 2.5))
-    ax.plot(np.asarray(values))
+    ax.plot(np.asarray(values), label="predicted")
+    if target is not None:
+        ax.plot(np.asarray(target), label="target", linestyle="--")
+        ax.legend(loc="upper left")
     ax.set_ylim(-0.05, 1.05)
     ax.set_title("stop token probability")
     return fig

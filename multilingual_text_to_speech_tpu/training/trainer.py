@@ -167,20 +167,36 @@ class Trainer:
             step0 = jnp.asarray(int(payload["step"]), jnp.int32)
             try:
                 opt_state = restore_into(payload, opt_state=opt_state)["opt_state"]
-            except Exception:
-                pass  # architecture changed: fresh optimizer state
+            except (ValueError, KeyError, TypeError) as e:
+                # structure mismatch is expected when fine-tuning a changed
+                # architecture; anything else (I/O, corruption) must raise
+                print(
+                    "WARNING: optimizer state in checkpoint does not match "
+                    f"the current model ({e}); starting with fresh Adam "
+                    "moments.",
+                    flush=True,
+                )
 
         rep = replicate(self.mesh)
+        self._rep = rep
         self.state = TrainState(
             params=jax.device_put(params, rep),
             batch_stats=jax.device_put(batch_stats, rep),
             opt_state=jax.device_put(opt_state, rep),
-            step=step0,
+            # explicitly replicated: in multi-process SPMD every jit input
+            # must be a global array, not a process-local one
+            step=jax.device_put(step0, rep),
         )
 
         self._lr_schedule = step_decay_schedule(hp)
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        # ga_active is STATIC: the expired-guided-attention step compiles a
+        # second variant without the [B, F, T] penalty (and lets XLA drop the
+        # alignment stacking), matching the reference's skip
+        # (modules/tacotron2.py:444-445)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,),
+                                   static_argnames=("ga_active",))
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  static_argnames=("ga_active",))
 
         self.logger = None
         if log_dir is not None:
@@ -240,6 +256,20 @@ class Trainer:
     def _eval_batches(self):
         return batch_iterator(self.data.dev, self.eval_sampler, self.collate)
 
+    def _scalar(self, value) -> jnp.ndarray:
+        """A replicated scalar jit input (stable sharding across processes,
+        no recompilation as the value changes per step)."""
+        return jax.device_put(np.float32(value), self._rep)
+
+    def _gather(self, x) -> np.ndarray:
+        """Model output -> host numpy; with multiple processes the batch axis
+        spans hosts, so all-gather the global array first."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
     def _model_args(self, batch: Batch, tf_ratio, rng):
         return (
             batch.utterances, batch.utterance_lengths,
@@ -282,7 +312,7 @@ class Trainer:
         return jnp.sum(matches) / jnp.maximum(jnp.sum(mask), 1)
 
     def _train_step_impl(self, state: TrainState, batch: Batch, tf_ratio,
-                         ga_var, ga_active, rng):
+                         ga_var, rng, *, ga_active: bool = True):
         hp = self.hp
 
         def loss_fn(params):
@@ -324,7 +354,7 @@ class Trainer:
         return new_state, losses, grad_norm, acc
 
     def _eval_step_impl(self, state: TrainState, batch: Batch, tf_ratio,
-                        ga_var, rng):
+                        ga_var, rng, *, ga_active: bool = True):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -332,8 +362,10 @@ class Trainer:
             variables, *self._model_args(batch, tf_ratio, rng),
             rngs={"dropout": jax.random.fold_in(rng, 1)},
         )
+        # same gate as training: eval loss drops the guided-attention term
+        # once guided_att_steps expire (reference returns 0 in eval too)
         total, losses = self._loss_from_outputs(
-            out, batch, state.params, ga_var, True
+            out, batch, state.params, ga_var, ga_active
         )
         acc = (
             self._classifier_accuracy(out, batch)
@@ -366,15 +398,15 @@ class Trainer:
                 profiling = True
             step = int(self.state.step)
             tf = teacher_forcing_ratio(hp, step)
-            ga_active = 1.0 if self.loss_state.guided_att_steps > 0 else 0.0
+            ga_active = self.loss_state.guided_att_steps > 0
             self.rng, step_rng = jax.random.split(self.rng)
 
             batch = shard_batch(batch, self.mesh)
             self.state, losses, grad_norm, acc = self._train_step(
                 self.state, batch,
-                jnp.float32(tf),
-                jnp.float32(self.loss_state.guided_att_variance),
-                jnp.float32(ga_active), step_rng,
+                self._scalar(tf),
+                self._scalar(self.loss_state.guided_att_variance),
+                jax.device_put(step_rng, self._rep), ga_active=ga_active,
             )
 
             if self.logger is not None and self.epoch >= logging_start_epoch:
@@ -411,20 +443,24 @@ class Trainer:
         n_batches = 0
         last = None
 
+        ga_active = self.loss_state.guided_att_steps > 0
         for batch in self._eval_batches():
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
             sharded = shard_batch(batch, self.mesh)
-            ga_var = jnp.float32(self.loss_state.guided_att_variance)
+            ga_var = self._scalar(self.loss_state.guided_att_variance)
             out_forced, losses, acc = self._eval_step(
-                self.state, sharded, jnp.float32(1.0), ga_var, k1,
+                self.state, sharded, self._scalar(1.0), ga_var,
+                jax.device_put(k1, self._rep), ga_active=ga_active,
             )
             out_free, _, _ = self._eval_step(
-                self.state, sharded, jnp.float32(0.0), ga_var, k2,
+                self.state, sharded, self._scalar(0.0), ga_var,
+                jax.device_put(k2, self._rep), ga_active=ga_active,
             )
 
-            stop_probs = jax.nn.sigmoid(out_free["stop_token"])
-            post_free = np.asarray(out_free["post_prediction"])
-            stop_probs_np = np.asarray(stop_probs)
+            post_free = self._gather(out_free["post_prediction"])
+            stop_probs_np = np.asarray(
+                jax.nn.sigmoid(jnp.asarray(self._gather(out_free["stop_token"])))
+            )
 
             for j in range(post_free.shape[0]):
                 gen = post_free[j].T       # [bins, F]
@@ -461,23 +497,53 @@ class Trainer:
         for k in eval_losses:
             eval_losses[k] /= max(n_batches, 1)
 
+        if last is not None:
+            # gathers are collectives: run them on EVERY process, then only
+            # the logging process renders
+            batch, out_forced, out_free, stop_probs_np = last
+            free_np = self._gather(out_free["post_prediction"])
+            forced_np = self._gather(out_forced["post_prediction"])
+            align_np = self._gather(out_free["alignment"])
         if self.logger is not None and last is not None:
             from multilingual_text_to_speech_tpu.text import SymbolTable
 
-            batch, out_forced, out_free, stop_probs_np = last
-            idx = 0
+            # RANDOM eval sample, like the reference (utils/logging.py:101)
+            self.rng, pick = jax.random.split(self.rng)
+            idx = int(jax.random.randint(
+                pick, (), 0, batch.utterances.shape[0]
+            ))
             f_len = int(batch.spectrogram_lengths[idx])
+            s_len = int(batch.utterance_lengths[idx])
             source_text = SymbolTable(hp).decode(
                 np.asarray(batch.utterances[idx])
             )
+
+            # denormalized generated + forced spectrograms [bins, F]
+            # (reference crops BOTH to the target length, logging.py:102-104)
+            is_mel = not hp.predict_linear
+            gen = free_np[idx][:f_len].T
+            forced = forced_np[idx][:f_len].T
+            target = np.asarray(batch.mel_spectrograms[idx][:f_len]).T
+            if hp.normalize_spectrogram:
+                gen = audio_ops.denormalize_spectrogram(gen, hp, is_mel)
+                forced = audio_ops.denormalize_spectrogram(forced, hp, is_mel)
+                target = audio_ops.denormalize_spectrogram(target, hp, True)
+
+            # Griffin-Lim audio of the generated AND the teacher-forced
+            # prediction (reference: utils/logging.py:116-119, train.py:168)
+            audio_generated = audio_ops.inverse_spectrogram(gen, hp, mel=is_mel)
+            audio_forced = audio_ops.inverse_spectrogram(forced, hp, mel=is_mel)
+
             self.logger.evaluation(
                 self.epoch + 1, eval_losses, mcd, cla,
-                alignment=np.asarray(out_free["alignment"][idx]),
-                target_spec=np.asarray(batch.mel_spectrograms[idx][:f_len]),
-                predicted_spec=np.asarray(
-                    out_forced["post_prediction"][idx][:f_len]
-                ),
+                alignment=align_np[idx][:f_len, :s_len],
+                target_spec=target.T,
+                predicted_spec=gen.T,
+                forced_spec=forced.T,
                 stop_probs=stop_probs_np[idx],
+                stop_target=np.asarray(batch.stop_tokens[idx]),
+                audio_generated=np.asarray(audio_generated),
+                audio_forced=np.asarray(audio_forced),
                 source_text=source_text,
                 sample_rate=hp.sample_rate,
             )

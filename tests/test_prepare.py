@@ -108,3 +108,28 @@ def test_trim_tree(tmp_path):
     trimmed = load_wav(str(wav_dir / "a.wav"))
     assert len(trimmed) < len(pad) * 2 + len(tone)
     assert len(trimmed) >= len(tone) * 0.9
+
+
+def test_trim_tree_preserves_sample_rate(tmp_path):
+    """Files at any rate keep their own rate (like the reference's sox
+    pipeline); an explicit --sample_rate mismatch fails loudly instead of
+    silently relabeling the audio."""
+    import pytest
+
+    from multilingual_text_to_speech_tpu.ops.io import load_wav_with_rate, save_wav
+
+    sr = 48000
+    pad = np.zeros(sr // 2, np.float32)
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)).astype(np.float32)
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    save_wav(np.concatenate([pad, tone, pad]), str(wav_dir / "a.wav"), sr)
+
+    n = trim_tree(str(tmp_path))
+    assert n == 1
+    trimmed, rate = load_wav_with_rate(str(wav_dir / "a.wav"))
+    assert rate == sr  # NOT rewritten at some default rate
+    assert len(tone) * 0.9 <= len(trimmed) < len(pad) * 2 + len(tone)
+
+    with pytest.raises(ValueError, match="sample rate"):
+        trim_tree(str(tmp_path), sample_rate=22050)

@@ -1,0 +1,89 @@
+"""Compatibility regression against the reference's ACTUAL bundled metafiles.
+
+``tests/data/{css10,css_comvoi}/val.txt`` are byte-identical copies of
+``/root/reference/data/{css10,css_comvoi}/val.txt`` (shipped corpus metadata,
+not code).  They must parse verbatim through ``TextToSpeechDataset`` with the
+bundled experiment configs — languages, speakers, field mapping, and the
+phoneme column exactly as the reference wrote them
+(reference: dataset/dataset.py:79-96).
+"""
+
+import os
+
+import numpy as np
+
+from multilingual_text_to_speech_tpu.config import HParams
+from multilingual_text_to_speech_tpu.data import TextToSpeechDataset
+
+HERE = os.path.dirname(__file__)
+PARAMS = os.path.join(
+    os.path.dirname(HERE), "multilingual_text_to_speech_tpu", "params"
+)
+
+
+def _dataset(meta_dir: str, config: str) -> tuple[TextToSpeechDataset, list]:
+    hp = HParams.from_json(os.path.join(PARAMS, f"{config}.json"))
+    root = os.path.join(HERE, "data", meta_dir)
+    ds = TextToSpeechDataset(os.path.join(root, "val.txt"), root, hp)
+    lines = [
+        l.split("|")
+        for l in open(os.path.join(root, "val.txt"), encoding="utf-8")
+        .read().splitlines() if l
+    ]
+    return ds, lines
+
+
+def test_css10_val_metafile_parses_verbatim():
+    ds, lines = _dataset("css10", "generated_training")
+    # every line carries a known language: nothing silently dropped
+    assert len(ds) == len(lines) == 640
+
+    hp = ds.hp
+    for item, tokens in zip(ds.items, lines):
+        assert item["id"] == tokens[0]
+        # css10: speaker == language (loaders.py:54-71); both become indices
+        assert ds.unique_speakers[item["speaker"]] == tokens[1]
+        assert hp.languages[item["language"]] == tokens[2]
+        assert item["audio"] == tokens[3]
+
+    # ten languages, speaker := language
+    assert ds.get_num_languages() == 10
+    assert ds.get_num_speakers() == 10
+
+    # encoded text: EOS-terminated, and the bundled alphabet covers the
+    # transcripts (UNK must stay an exception, not the norm)
+    unk = 0
+    total = 0
+    for item in ds.items:
+        seq = np.asarray(item["text"])
+        assert seq[-1] == 1  # EOS
+        assert (seq[:-1] != 0).all()  # no PAD inside
+        unk += int(np.sum(seq == 2))
+        total += len(seq)
+    assert unk / total < 0.001, f"UNK rate {unk}/{total}"
+
+
+def test_css_comvoi_val_metafile_parses_verbatim():
+    ds, lines = _dataset("css_comvoi", "generated_switching")
+    assert len(ds) == len(lines) == 656
+
+    hp = ds.hp
+    for item, tokens in zip(ds.items, lines):
+        assert item["id"] == tokens[0]
+        # css_comvoi: speakers are '00-nl'-style multi-speaker labels
+        assert ds.unique_speakers[item["speaker"]] == tokens[1]
+        assert hp.languages[item["language"]] == tokens[2]
+        # audio paths reach into the sibling css10 download unchanged
+        assert item["audio"] == tokens[3]
+
+    assert ds.get_num_languages() == 5
+    assert ds.get_num_speakers() == len({t[1] for t in lines})
+
+    unk = 0
+    total = 0
+    for item in ds.items:
+        seq = np.asarray(item["text"])
+        assert seq[-1] == 1
+        unk += int(np.sum(seq == 2))
+        total += len(seq)
+    assert unk / total < 0.001, f"UNK rate {unk}/{total}"

@@ -44,6 +44,15 @@ def test_parse_language_spec_segments():
     np.testing.assert_allclose(w[0, 5:, 0], 1.0)
 
 
+def test_parse_language_spec_bad_lengths():
+    # under-covering spec: last segment should take the remainder
+    with pytest.raises(ValueError, match="covers 5 of 7"):
+        parse_language_spec("de-2,fr-3", spec_hp(), 7)
+    # over-long spec must fail loudly, not broadcast-error downstream
+    with pytest.raises(ValueError, match="only 4"):
+        parse_language_spec("de-3,fr-9,de", spec_hp(), 4)
+
+
 def test_parse_language_spec_blend():
     w = parse_language_spec("de-1,fr*0.75:zh*0.25-2,de", spec_hp(), 4)
     np.testing.assert_allclose(w[0, 0], [1.0, 0.0, 0.0])

@@ -107,6 +107,7 @@ def tiny_training_setup(tmp_path_factory):
         case_sensitive=False,
         guided_attention_steps=1000,
         decoder_regularization="zoneout",
+        griffin_lim_iters=2,  # keep the eval-audio render cheap on CPU
     )
     build_corpus_with_metafiles(root, hp, n_per_lang=4)
     return root, hp
@@ -136,6 +137,18 @@ def test_trainer_end_to_end(tiny_training_setup, tmp_path):
     assert np.isfinite(losses).all()
     # training reduces loss on this trivially overfittable corpus
     assert losses[-1] < losses[0]
+
+    # eval epochs render Griffin-Lim audio of a random sample, generated AND
+    # teacher-forced (reference utils/logging.py:116-119)
+    import json
+
+    metrics_path = os.path.join(trainer.logger.log_dir, "metrics.jsonl")
+    trainer.logger._jsonl.flush()
+    evals = [json.loads(l) for l in open(metrics_path, encoding="utf-8")
+             if json.loads(l)["kind"] == "eval"]
+    assert len(evals) == 3
+    assert all(e["audio_generated_samples"] > 0 for e in evals)
+    assert all(e["audio_forced_samples"] > 0 for e in evals)
 
     path = trainer.save(losses[-1])
     assert os.path.exists(path)
@@ -184,16 +197,29 @@ def test_trainer_data_parallel_8dev(tmp_path_factory):
 def test_find_latest_checkpoint(tmp_path):
     import time as _time
 
+    from multilingual_text_to_speech_tpu.config import HParams
     from multilingual_text_to_speech_tpu.training.checkpoint import (
         find_latest_checkpoint,
+        save_checkpoint,
     )
 
     d = str(tmp_path)
     assert find_latest_checkpoint(d) is None
-    (tmp_path / "ckpt_a").write_bytes(b"1")
+
+    def save(name, epoch):
+        save_checkpoint(
+            str(tmp_path / name), epoch=epoch, step=epoch,
+            params={"w": np.ones(2, np.float32)}, batch_stats={},
+            opt_state={}, hp=HParams(), criterion_state={"g": 0.5},
+        )
+
+    save("ckpt_a", 0)
     _time.sleep(0.01)
-    (tmp_path / "ckpt_b").write_bytes(b"2")
-    (tmp_path / "ckpt_c.tmp").write_bytes(b"3")  # in-flight writes skipped
+    save("ckpt_b", 1)
+    (tmp_path / "ckpt_c.tmp").write_bytes(b"3")   # in-flight writes skipped
+    _time.sleep(0.01)
+    (tmp_path / "notes.txt").write_text("hello")  # stray files skipped even
+    (tmp_path / "events.out.tfevents.123").write_bytes(b"\x00" * 40)  # newer
     assert find_latest_checkpoint(d).endswith("ckpt_b")
 
 
