@@ -129,6 +129,29 @@ class HighwayConvBlock(nn.Module):
         return _highway_gate(h, x, self.groups)
 
 
+def _grouped_conv_taps(x: jnp.ndarray, kernel: jnp.ndarray, *, k: int,
+                       dilation: int, groups: int, dtype) -> jnp.ndarray:
+    """Grouped 1-D 'same' conv as ``k`` per-tap batched matmuls, in the
+    group-explicit 4-D layout.
+
+    ``x``: [B, T, g, cin]; ``kernel``: [k, cin, g, cout].  Each tap is an
+    einsum over the group axis — g dense [B*T, cin] x [cin, cout] MXU
+    matmuls, accumulated in f32 — with no grouped-conv relayout and no
+    3-D/4-D reshapes (profiled at ~1 ms each at serving batch sizes)."""
+    b, t = x.shape[0], x.shape[1]
+    kg = kernel.astype(dtype)
+    xg = x.astype(dtype)
+    lo, hi = same_pad_amounts(k, dilation)
+    xp = jnp.pad(xg, ((0, 0), (lo, hi), (0, 0), (0, 0)))
+    out = None
+    for tap in range(k):
+        xs = xp[:, tap * dilation: tap * dilation + t]
+        y = jnp.einsum("btgi,igo->btgo", xs, kg[tap],
+                       preferred_element_type=jnp.float32)
+        out = y if out is None else out + y
+    return out.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Meta-generated layers (contextual parameter generator)
 # ---------------------------------------------------------------------------
@@ -151,7 +174,16 @@ class Conv1dGenerated(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    def generate(self, embedding: jnp.ndarray):
+        """Emit the conv kernel ``[k, in/g, g, out/g]`` and optional bias
+        ``[out_total]`` from the generator embeddings.
+
+        The generating Dense's columns are ordered ``(k, cin, cout)`` per
+        group — NOT the torch ``(cout, cin, k)`` order — so every reshape on
+        the emitted kernel keeps a lane-tileable minor dimension.  The torch
+        order would materialize a ``[g, cout, cin, k]`` tensor whose minor
+        dim k pads 3 -> 128 lanes (a ~1 ms, 42x-padded relayout per layer at
+        f32; profiled).  Weight ports permute the columns once host-side."""
         g = self.groups
         assert embedding.shape[0] == g, (
             "Number of generator embeddings must match conv groups."
@@ -161,26 +193,45 @@ class Conv1dGenerated(nn.Module):
 
         e = nn.Dense(self.bottleneck_dim, name="bottleneck")(embedding)  # [g, b]
         kernel_flat = nn.Dense(cout * cin * self.kernel, name="kernel")(e)
-        # lax conv kernel layout HWIO for NWC inputs: [k, in/g, out_total]
-        kernel = kernel_flat.reshape(g, cout, cin, self.kernel)
-        kernel = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(
-            self.kernel, cin, g * cout
+        kernel = kernel_flat.reshape(g, self.kernel, cin, cout)
+        kernel = jnp.transpose(kernel, (1, 2, 0, 3))  # [k, cin, g, cout]
+        bias = (
+            nn.Dense(cout, name="bias")(e).reshape(g * cout)
+            if self.bias else None
         )
+        return kernel, bias
 
+    def conv(self, x: jnp.ndarray, kernel: jnp.ndarray,
+             bias: jnp.ndarray | None) -> jnp.ndarray:
+        """Apply the generated conv.  ``x`` may be the flat [B, T, g*cin]
+        layout (reference-compatible) or the group-explicit 4-D
+        [B, T, g, cin] layout the encoder stack runs in."""
+        if x.ndim == 4:
+            y = _grouped_conv_taps(
+                x, kernel, k=self.kernel, dilation=self.dilation,
+                groups=self.groups, dtype=self.dtype,
+            )
+            if bias is not None:
+                y = y + bias.reshape(self.groups, -1).astype(y.dtype)
+            return y
         pad = same_pad_amounts(self.kernel, self.dilation)
+        wio = kernel.reshape(kernel.shape[0], kernel.shape[1], -1)  # [k,cin,g*cout]
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
-            kernel.astype(self.dtype),
+            wio.astype(self.dtype),
             window_strides=(1,),
             padding=[pad],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            feature_group_count=g,
+            feature_group_count=self.groups,
         )
-        if self.bias:
-            b = nn.Dense(cout, name="bias")(e).reshape(g * cout)
-            y = y + b.astype(y.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
         return y
+
+    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        kernel, bias = self.generate(embedding)
+        return self.conv(x, kernel, bias)
 
 
 class BatchNorm1dGenerated(nn.Module):
@@ -199,8 +250,9 @@ class BatchNorm1dGenerated(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        train = self.train
+    def affine_and_stats(self, embedding: jnp.ndarray):
+        """Generated per-group affine ``(scale, bias)`` (flattened to
+        ``[g*c]``) plus the shared running-stat variables."""
         g = self.groups
         per_group = self.num_features // g
         assert embedding.shape[0] == g
@@ -216,12 +268,23 @@ class BatchNorm1dGenerated(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.num_features, jnp.float32)
         )
+        return scale, bias, ra_mean, ra_var
+
+    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """``x``: flat [..., g*c] or group-explicit 4-D [B, T, g, c]; the
+        running stats are flat [g*c] either way."""
+        train = self.train
+        scale, bias, ra_mean, ra_var = self.affine_and_stats(embedding)
+        ch_shape = (
+            (self.groups, self.num_features // self.groups)
+            if x.ndim == 4 else (self.num_features,)
+        )
 
         if train:
             x32 = x.astype(jnp.float32)
-            axes = tuple(range(x.ndim - 1))  # all but channels
-            mean = jnp.mean(x32, axis=axes)
-            var = jnp.var(x32, axis=axes)
+            axes = tuple(range(x.ndim - len(ch_shape)))
+            mean = jnp.mean(x32, axis=axes).reshape(-1)
+            var = jnp.var(x32, axis=axes).reshape(-1)
             n = x32.size / self.num_features
             # torch F.batch_norm updates running var with the unbiased estimator
             unbiased = var * (n / max(n - 1.0, 1.0))
@@ -233,7 +296,10 @@ class BatchNorm1dGenerated(nn.Module):
             var = ra_var.value
 
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        return (x - mean) * inv + bias
+        shift = bias - mean * inv
+        # normalize in f32, return in the input dtype: keeps the elementwise
+        # chain between MXU convs at bf16 width (HBM-bound otherwise)
+        return (x * inv.reshape(ch_shape) + shift.reshape(ch_shape)).astype(x.dtype)
 
 
 class ConvBlockGenerated(nn.Module):
@@ -251,10 +317,8 @@ class ConvBlockGenerated(nn.Module):
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        train = self.train
-        x = Conv1dGenerated(
+    def setup(self):
+        self.conv_mod = Conv1dGenerated(
             bottleneck_dim=self.bottleneck_dim,
             in_channels=self.in_channels,
             out_channels=self.out_channels,
@@ -263,22 +327,61 @@ class ConvBlockGenerated(nn.Module):
             groups=self.groups,
             bias=not self.batch_norm,
             dtype=self.dtype,
-        )(embedding, x)
-        if self.batch_norm:
-            x = BatchNorm1dGenerated(
+            name="Conv1dGenerated_0",
+        )
+        self.bn_mod = (
+            BatchNorm1dGenerated(
                 bottleneck_dim=self.bottleneck_dim,
                 num_features=self.out_channels,
                 groups=self.groups,
-                train=train,
-            )(embedding, x)
+                train=self.train,
+                name="BatchNorm1dGenerated_0",
+            )
+            if self.batch_norm else None
+        )
+        if self.dropout > 0.0:
+            self.drop_mod = nn.Dropout(
+                rate=self.dropout, deterministic=not self.train,
+                name="Dropout_0",
+            )
+
+    def generate_folded(self, embedding: jnp.ndarray):
+        """EVAL-mode kernel+bias with batch-norm FOLDED IN: running-stat
+        normalization scales the GENERATED kernel instead of an elementwise
+        pass over [B, T, g*C], so the conv emits already-normalized values
+        (same math as reference modules/generated.py:94-96 in eval)."""
+        kernel, bias = self.conv_mod.generate(embedding)
+        if self.bn_mod is not None:
+            scale, b, ra_mean, ra_var = self.bn_mod.affine_and_stats(embedding)
+            inv = scale * jax.lax.rsqrt(ra_var.value + self.bn_mod.eps)
+            g = self.groups
+            kernel = kernel * inv.reshape(g, -1)  # [k, cin, g, cout] layout
+            bias = b - ra_mean.value * inv
+        return kernel, bias
+
+    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        train = self.train
+        if self.batch_norm and not train:
+            kernel, bias = self.generate_folded(embedding)
+            x = self.conv_mod.conv(x, kernel, bias)
+        elif self.batch_norm:
+            x = self.bn_mod(embedding, self.conv_mod(embedding, x))
+        else:
+            x = self.conv_mod(embedding, x)
         x = get_activation(self.activation)(x)
         if self.dropout > 0.0:
-            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+            x = self.drop_mod(x)
         return x
 
 
 class HighwayConvBlockGenerated(nn.Module):
-    """Gated generated conv (reference: modules/layers.py:156-178)."""
+    """Gated generated conv (reference: modules/layers.py:156-178).
+
+    Eval path: the 2x-wide conv is SPLIT at kernel-generation time into two
+    aligned convs (per-group gate half / value half), so the highway gate is
+    pure elementwise math — no interleaved channel re-chunking (profiled at
+    ~1 ms/layer of pure data movement at serving batch sizes).
+    """
 
     bottleneck_dim: int
     in_channels: int
@@ -292,9 +395,8 @@ class HighwayConvBlockGenerated(nn.Module):
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        h = ConvBlockGenerated(
+    def setup(self):
+        self.block = ConvBlockGenerated(
             bottleneck_dim=self.bottleneck_dim,
             in_channels=self.in_channels,
             out_channels=2 * self.out_channels,
@@ -306,5 +408,30 @@ class HighwayConvBlockGenerated(nn.Module):
             batch_norm=self.batch_norm,
             train=self.train,
             dtype=self.dtype,
-        )(embedding, x)
+            name="ConvBlockGenerated_0",
+        )
+
+    def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim == 3 and self.batch_norm and not self.train:
+            # EVAL: split the 2x-wide conv at kernel-generation time into an
+            # aligned gate conv + value conv (per-group channel blocks are
+            # [gate c | value c], the torch even/odd chunk layout,
+            # modules/layers.py:149-151).  The gate then needs no interleaved
+            # re-chunking — profiled at ~1 ms/layer of pure data movement.
+            kernel, bias = self.block.generate_folded(embedding)
+            g, c = self.groups, self.out_channels // self.groups
+            bias = bias.reshape(g, 2 * c)
+            act = get_activation(self.activation)
+            h1 = act(self.block.conv_mod.conv(
+                x, kernel[..., :c], bias[:, :c].reshape(-1)))
+            h2 = act(self.block.conv_mod.conv(
+                x, kernel[..., c:], bias[:, c:].reshape(-1)))
+            p = jax.nn.sigmoid(h1)
+            return h2 * p + x * (1.0 - p)
+        h = self.block(embedding, x)
+        if x.ndim == 4:
+            # group-explicit layout: the gate is a LAST-AXIS slice
+            c = self.out_channels // self.groups
+            p = jax.nn.sigmoid(h[..., :c])
+            return h[..., c:] * p + x * (1.0 - p)
         return _highway_gate(h, x, self.groups)

@@ -100,8 +100,9 @@ def test_conv1d_generated_matches_explicit_groups():
     kern = bott @ p["kernel"]["kernel"] + p["kernel"]["bias"]   # [g, cout*cin*k]
     bias = bott @ p["bias"]["kernel"] + p["bias"]["bias"]       # [g, cout]
     for gi in range(g):
-        kg = kern[gi].reshape(cout, cin, k)            # torch [out, in, k]
-        kg = jnp.transpose(kg, (2, 1, 0))              # -> [k, in, out]
+        # generator columns are ordered (k, cin, cout) — TPU-tileable minor
+        # dim at every reshape (see Conv1dGenerated.generate)
+        kg = kern[gi].reshape(k, cin, cout)
         xg = x[..., gi * cin : (gi + 1) * cin]
         pad = same_pad_amounts(k, 1)
         yg = jax.lax.conv_general_dilated(

@@ -194,6 +194,20 @@ def bilstm(sd, prefix) -> dict:
     }
 
 
+def gen_kernel_dense(sd, prefix, cout, cin, k) -> dict:
+    """torch ``Conv1dGenerated._kernel`` Linear -> this repo's generating
+    Dense: the flax generator's columns are ordered ``(k, cin, cout)`` per
+    group instead of torch's ``(cout, cin, k)`` (TPU layout — see
+    Conv1dGenerated.generate), so permute the torch rows first."""
+    w = t2j(sd[f"{prefix}.weight"])   # [cout*cin*k, bottleneck]
+    b = t2j(sd[f"{prefix}.bias"])
+    w = w.reshape(cout, cin, k, -1).transpose(2, 1, 0, 3).reshape(
+        k * cin * cout, -1
+    )
+    b = b.reshape(cout, cin, k).transpose(2, 1, 0).reshape(-1)
+    return {"kernel": w.T, "bias": b}
+
+
 def port_convblock(sd, prefix, batch_norm=True):
     """Reference ConvBlock state (Sequential: 0 pad, 1 conv, 2 bn, ...) ->
     (params, batch_stats) for this repo's ConvBlock."""
@@ -213,11 +227,14 @@ def port_convblock(sd, prefix, batch_norm=True):
     return params, stats
 
 
-def port_generated_block(sd, prefix, batch_norm=True):
-    """Reference ConvBlockGenerated state -> (params, batch_stats)."""
+def port_generated_block(sd, prefix, cout, cin, k, batch_norm=True):
+    """Reference ConvBlockGenerated state -> (params, batch_stats).
+    ``cout``/``cin`` are PER-GROUP channel counts of the inner conv."""
     conv = {
         "bottleneck": dense(sd, f"{prefix}_convolution._bottleneck"),
-        "kernel": dense(sd, f"{prefix}_convolution._kernel"),
+        "kernel": gen_kernel_dense(
+            sd, f"{prefix}_convolution._kernel", cout, cin, k
+        ),
     }
     if not batch_norm:
         conv["bias"] = dense(sd, f"{prefix}_convolution._bias")
@@ -290,8 +307,16 @@ def port_tacotron(torch_model, hp):
             }
         }
         stack, stack_stats = {}, {}
-        for i in range(N_GENERATED_LAYERS):
-            blk, st = port_generated_block(sd, f"_encoder._layers.{i}.")
+        e_dim = hp.encoder_dimension
+        specs = (  # per-group (kernel, cin, cout) of each stack layer
+            [(1, hp.embedding_dimension, e_dim), (1, e_dim, e_dim)]
+            + [(3, e_dim, 2 * e_dim)] * 10
+            + [(1, e_dim, 2 * e_dim)] * 2
+        )
+        for i, (k, cin, cout) in enumerate(specs):
+            blk, st = port_generated_block(
+                sd, f"_encoder._layers.{i}.", cout=cout, cin=cin, k=k
+            )
             if i >= 2:  # highway blocks wrap the generated conv block
                 blk = {"ConvBlockGenerated_0": blk}
                 st = {"ConvBlockGenerated_0": st}
@@ -465,7 +490,7 @@ def test_conv1d_generated_parity(ref):
     sd = tconv.state_dict()
     ported = {
         "bottleneck": dense(sd, "_bottleneck"),
-        "kernel": dense(sd, "_kernel"),
+        "kernel": gen_kernel_dense(sd, "_kernel", cout // g, cin // g, k),
         "bias": dense(sd, "_bias"),
     }
     variables["params"] = override(variables["params"], ported, strict=True)
