@@ -67,11 +67,23 @@ def main():
 
     encode = jax.jit(lambda v, t, tl, s, l: model.apply(
         v, t, tl, s, l, method=Tacotron.encode_for_inference))
-    decode_chunk = jax.jit(
-        lambda v, carry, m, mt, mask, r: model.apply(
-            v, carry, m, mt, mask, r, hp.decode_chunk_frames,
-            method=Tacotron.decode_chunk),
-    )
+
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder
+
+    if (getattr(hp, "use_pallas_decoder", False)
+            and pallas_decoder.supports(hp)
+            and jax.devices()[0].platform == "tpu"):
+        # fused whole-chunk Pallas decoder: weights + attention memory stay
+        # VMEM-resident across the chunk (ops/pallas_decoder.py)
+        fused = pallas_decoder.make_decode_fn(hp, variables, compute_dtype)
+        decode_chunk = jax.jit(
+            lambda v, carry, m, mt, mask, r: fused(carry, m, mt, mask, r))
+    else:
+        decode_chunk = jax.jit(
+            lambda v, carry, m, mt, mask, r: model.apply(
+                v, carry, m, mt, mask, r, hp.decode_chunk_frames,
+                method=Tacotron.decode_chunk),
+        )
 
     n_chunks = decode_frames // hp.decode_chunk_frames
 

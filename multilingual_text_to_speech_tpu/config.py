@@ -146,6 +146,12 @@ _DEFAULTS: Dict[str, Any] = {
     # Fused Pallas TPU kernel for the location-sensitive attention step
     # (ops/pallas_attention.py). CPU/interpret fallback exists for tests.
     "use_pallas_attention": False,
+    # Fused whole-chunk Pallas decoder for inference (ops/pallas_decoder.py):
+    # the AR step loop runs inside one kernel with weights and attention
+    # memory VMEM-resident. Used by the Synthesizer when the config is
+    # supported (location-sensitive attention) and the backend is a TPU;
+    # training and unsupported configs stay on the XLA scan.
+    "use_pallas_decoder": True,
     # Device mesh axis sizes: data parallel x model (language-group) parallel.
     "mesh_data_parallel": -1,  # -1 = all devices
     "mesh_model_parallel": 1,

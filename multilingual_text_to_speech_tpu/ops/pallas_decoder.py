@@ -1,0 +1,505 @@
+"""Pallas TPU kernel: the WHOLE autoregressive decoder chunk, fused.
+
+This replaces the XLA ``lax.scan`` inference decode (models/decoder.py) on
+the hot serving path.  The reference decodes with a Python frame loop over
+two LSTMCells + location-sensitive attention per frame
+(/root/reference/modules/tacotron2.py:180-207); the XLA scan already fuses
+each step, but profiling (PARITY.md, round 1) showed the step pinned at the
+HBM weight-streaming roofline: every one of the thousands of AR steps
+re-reads ~33 MB of gate weights plus the attention memory from HBM
+(~120 us/step at serving batch 240 on a v5e).
+
+Here ONE ``pallas_call`` runs a whole chunk of steps with
+
+- all decoder weights (prenet, both fused-gate LSTMs, attention operands,
+  frame/stop heads) resident in VMEM for the entire chunk,
+- the attention memory ``[B, T, M]`` and transposed memory transform
+  resident in VMEM (compute dtype),
+- a ``fori_loop`` over the chunk's steps whose state (LSTM h/c, context,
+  previous frame, cumulative attention weights) lives in the kernel's
+  output refs and never leaves VMEM,
+- only the per-step mel frames / stop logits written back to HBM.
+
+Weights are thus read from HBM once per CHUNK instead of once per STEP —
+at chunk 128 a 128x cut in weight traffic, turning the step from
+memory-bound into MXU compute-bound.
+
+Mosaic-shaped design notes (each of these was measured, not guessed):
+
+- Mosaic lowers ops value-at-a-time; large intermediates live in vector
+  registers and spill.  v1 of this kernel kept the f32 ``[B, T, A]``
+  attention chain + a 31-shift im2col as live values and drowned in 110 MB
+  of register-allocator spill slots.  v3 keeps every big intermediate in
+  the compute dtype and in flat 2-D layouts.
+- The location conv is folded (with the location projection and the energy
+  vector) into plain 2-D matmuls in an A-major flattened ``[B, A*T]``
+  layout: ``loc = cum @ Band``, ``q_broadcast = q @ E``, and the energy
+  reduction ``e = tanh(z) @ R`` — all MXU work, no 3-D dots (a 3-D-rhs dot
+  lowers to T separate tiny matmuls) and no im2col shuffling.
+- The two fused-gate LSTM matmuls read from concat scratch buffers whose
+  segments are 128-lane aligned (weight rows zero-padded to match), so each
+  step runs ONE large gate matmul per cell instead of three partial ones.
+- Loop state lives in output refs, not ``fori_loop`` carries — carried
+  values cost a copy per iteration.
+
+The always-on prenet dropout (reference quirk, tacotron2.py:40 — active at
+inference for output variety) uses a counter-based hash PRNG so compiled
+TPU and interpreter runs draw identical masks; zoneout uses its
+deterministic eval-mode interpolation, matching models/rnn.py.
+
+Step math mirrored from models/decoder.py::DecoderCell (reference loop
+body, tacotron2.py:180-198) and
+models/attention.py::LocationSensitiveAttention (reference
+modules/attention.py:39-45,67-86); parity vs the XLA scan is asserted in
+tests/test_pallas_decoder.py.
+
+Set ``PALLAS_DEC_ABLATE=att_lstm,gen_lstm,attention,ctx`` (any subset) to
+profile the kernel with stages stubbed out.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Carry = Dict[str, Any]
+
+_NEG_INF = -1e9
+_LANES = 128
+
+# bundle entries holding kernel weight operands, in kernel operand order
+_WEIGHT_KEYS = (
+    "pre_w0", "pre_b0", "pre_w1", "pre_b1",
+    "att_w", "att_b", "wq",
+    "gen_w", "gen_b",
+    "head_w", "head_b",
+)
+
+# the folded attention matmuls materialize [T, A*T] / [A*T, T] operands;
+# above this text length they outgrow their VMEM budget and callers should
+# use the XLA scan instead (see supports_shapes)
+_MAX_MEMORY_LEN = 256
+
+_ABLATE = frozenset(
+    f for f in os.environ.get("PALLAS_DEC_ABLATE", "").split(",") if f)
+
+
+def supports(hp) -> bool:
+    """True if the fused kernel covers this configuration; otherwise the
+    caller should stay on the XLA scan path."""
+    return (
+        hp.attention_type == "location_sensitive"
+        and int(getattr(hp, "prenet_layers", 2)) == 2
+        and hp.decoder_regularization in ("zoneout", "dropout")
+    )
+
+
+def supports_shapes(memory_len: int) -> bool:
+    """Per-call shape gate (text length after bucketing)."""
+    return memory_len <= _MAX_MEMORY_LEN
+
+
+def _r128(n: int) -> int:
+    return -(-n // _LANES) * _LANES
+
+
+def _pad_rows(kernel_mat, segments):
+    """Zero-pad weight rows so each input segment starts on a 128-lane
+    boundary of the concat scratch buffer (aligned vector stores)."""
+    parts = []
+    row = 0
+    for width in segments:
+        seg = kernel_mat[row:row + width]
+        row += width
+        pad = _r128(width) - width
+        if pad:
+            seg = jnp.concatenate(
+                [seg, jnp.zeros((pad, seg.shape[1]), seg.dtype)], axis=0)
+        parts.append(seg)
+    return jnp.concatenate(parts, axis=0)
+
+
+def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+    """Slice the flax decoder params into the kernel's operand layout.
+
+    The fused-gate LSTM kernels ``[x_dim + hidden, 4*hidden]`` get their
+    concat segments (prenet|context|hidden) row-padded to 128-lane
+    boundaries; the frame and stop heads are fused into one
+    ``[hidden+mem, num_mels+1]`` projection.  Done once per synthesizer.
+    """
+    p = variables["params"]["decoder"]["cell"]
+    pre0, pre1 = p["prenet"]["fc0"], p["prenet"]["fc1"]
+    attg = p["attention_lstm"]["cell"]["gates"]
+    geng = p["generator_lstm"]["cell"]["gates"]
+    att = p["attention"]
+    framep, stopp = p["frame_prediction"], p["stop_prediction"]
+
+    prenet_dim = pre0["kernel"].shape[1]
+    hidden = attg["kernel"].shape[1] // 4
+    mem_dim = attg["kernel"].shape[0] - prenet_dim - hidden
+
+    d = compute_dtype
+    f32 = jnp.float32
+    head_k = jnp.concatenate([framep["kernel"], stopp["kernel"]], axis=1)
+    head_b = jnp.concatenate([framep["bias"], stopp["bias"]])[None, :]
+    # fold conv filter and location projection into one [K, A] matrix
+    # (both linear; folded in f32)
+    lc = att["loc_filter"][:, 0, :].astype(f32) @ att["location_kernel"].astype(f32)
+
+    return {
+        "pre_w0": pre0["kernel"].astype(d), "pre_b0": pre0["bias"][None, :].astype(f32),
+        "pre_w1": pre1["kernel"].astype(d), "pre_b1": pre1["bias"][None, :].astype(f32),
+        "att_w": _pad_rows(attg["kernel"],
+                           (prenet_dim, mem_dim, hidden)).astype(d),
+        "att_b": attg["bias"][None, :].astype(f32),
+        "wq": att["query_kernel"].astype(d),
+        "gen_w": _pad_rows(geng["kernel"],
+                           (hidden, mem_dim, hidden)).astype(d),
+        "gen_b": geng["bias"][None, :].astype(f32),
+        "head_w": _pad_rows(head_k, (hidden, mem_dim)).astype(d),
+        "head_b": head_b.astype(f32),
+        # folded at call time: bias into the memory transform, the location
+        # conv+projection into the banded matmul, v into the reduction
+        "att_bias": att["bias"].astype(f32),                    # [1, A]
+        "lc": lc.astype(f32),                                   # [K, A]
+        "v": att["energy_kernel"].reshape(-1).astype(f32),      # [A]
+    }
+
+
+def _largest_block(b: int, cap: int) -> int:
+    for d in range(min(b, cap), 0, -1):
+        if b % d == 0:
+            return d
+    return b
+
+
+def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
+                  dropout_rate, zoneout_h, zoneout_c, dtype):
+    keep_rate = 1.0 - dropout_rate
+    drop_thresh = np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
+    drop_scale = 1.0 / keep_rate if keep_rate > 0.0 else 0.0
+    h_pad, m_pad, p_pad = _r128(hidden), _r128(mem_dim), _r128(prenet_dim)
+
+    def matmul(x, w_ref, prefer=jnp.float32):
+        return jax.lax.dot_general(
+            x.astype(dtype), w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=prefer,
+        )
+
+    def kernel(seed_ref,
+               mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref,
+               h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
+               ctx_ref, frame_ref, cum_ref,
+               pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
+               att_w_ref, att_b_ref, wq_ref,
+               gen_w_ref, gen_b_ref,
+               head_w_ref, head_b_ref,
+               out_spec_ref, out_stop_ref,
+               o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
+               o_ctx_ref, o_frame_ref, o_cum_ref,
+               att_in_ref, gen_in_ref, head_in_ref):
+        seed0 = seed_ref[0, 0].astype(jnp.uint32)
+        seed1 = seed_ref[0, 1].astype(jnp.uint32)
+
+        def rand_bits(shape, salt):
+            """Counter-based uint32 hash (lowbias32) — platform-independent
+            stand-in for the TPU core PRNG so compiled and interpreter
+            modes draw identical dropout masks."""
+            x = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                 * jnp.uint32(shape[1])
+                 + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+            x = x + seed0 + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+            x = x ^ (seed1 * jnp.uint32(0x85EBCA6B))
+            x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+            x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+            return x ^ (x >> 16)
+
+        mask_add = mask_ref[:]                                # [BB, T] f32
+
+        def lstm_math(gates, c):
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return h_new, c_new
+
+        def zoneout(old, new, z):
+            return new if z == 0.0 else z * old + (1.0 - z) * new
+
+        def prenet(x, step):
+            for layer, (w_ref, b_ref) in enumerate(
+                    ((pre_w0_ref, pre_b0_ref), (pre_w1_ref, pre_b1_ref))):
+                x = jax.nn.relu(matmul(x, w_ref) + b_ref[:])
+                if dropout_rate > 0.0:
+                    bits = rand_bits(x.shape, step * 2 + layer + 1)
+                    x = jnp.where(bits < drop_thresh, x * drop_scale, 0.0)
+            return x
+
+        # loop state lives in the OUTPUT refs (a fori_loop carry would be
+        # copied every iteration); zero the concat scratch pads once so the
+        # zero-padded weight rows never meet uninitialized data
+        o_h_att_ref[:] = h_att_ref[:]
+        o_c_att_ref[:] = c_att_ref[:]
+        o_h_gen_ref[:] = h_gen_ref[:]
+        o_c_gen_ref[:] = c_gen_ref[:]
+        o_ctx_ref[:] = ctx_ref[:]
+        o_frame_ref[:] = frame_ref[:]
+        o_cum_ref[:] = cum_ref[:]
+        att_in_ref[:] = jnp.zeros_like(att_in_ref)
+        gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
+        head_in_ref[:] = jnp.zeros_like(head_in_ref)
+
+        def step(s, _):
+            ctx = o_ctx_ref[:]
+            cum = o_cum_ref[:]
+            ctx_d = ctx.astype(dtype)
+
+            x = prenet(o_frame_ref[:], s)
+            if "att_lstm" not in _ABLATE:
+                att_in_ref[:, :prenet_dim] = x.astype(dtype)
+                att_in_ref[:, p_pad:p_pad + mem_dim] = ctx_d
+                att_in_ref[:, p_pad + m_pad:p_pad + m_pad + hidden] = (
+                    o_h_att_ref[:].astype(dtype))
+                gates = matmul(att_in_ref[:], att_w_ref) + att_b_ref[:]
+                hn, cn = lstm_math(gates, o_c_att_ref[:])
+                o_h_att_ref[:] = zoneout(o_h_att_ref[:], hn, zoneout_h)
+                o_c_att_ref[:] = zoneout(o_c_att_ref[:], cn, zoneout_c)
+            h_att = o_h_att_ref[:]
+
+            # attention energies in the A-major flattened [BB, A*T] layout:
+            # three plain 2-D matmuls (band conv, query broadcast, folded
+            # v-reduction) — no 3-D dots, no im2col
+            if "attention" not in _ABLATE:
+                q = matmul(h_att, wq_ref).astype(dtype)        # [BB, A]
+                loc = matmul(cum, band_ref).astype(dtype)      # [BB, A*T]
+                qt = matmul(q, qe_ref).astype(dtype)           # [BB, A*T]
+                tz = jnp.tanh(loc + qt + mt_ref[:])
+                e = matmul(tz, red_ref) + mask_add             # [BB, T]
+            else:
+                e = cum * 0.01 + mask_add
+            e = e - jnp.max(e, axis=-1, keepdims=True)
+            p = jnp.exp(e)
+            w = p / jnp.sum(p, axis=-1, keepdims=True)
+            if "ctx" not in _ABLATE:
+                ctx = jnp.sum(mem_ref[:] * w[:, :, None].astype(dtype),
+                              axis=1, dtype=jnp.float32)       # [BB, Mem]
+                o_ctx_ref[:] = ctx
+                ctx_d = ctx.astype(dtype)
+            o_cum_ref[:] = cum + w
+
+            if "gen_lstm" not in _ABLATE:
+                gen_in_ref[:, :hidden] = h_att.astype(dtype)
+                gen_in_ref[:, h_pad:h_pad + mem_dim] = ctx_d
+                gen_in_ref[:, h_pad + m_pad:h_pad + m_pad + hidden] = (
+                    o_h_gen_ref[:].astype(dtype))
+                gates = matmul(gen_in_ref[:], gen_w_ref) + gen_b_ref[:]
+                hn, cn = lstm_math(gates, o_c_gen_ref[:])
+                o_h_gen_ref[:] = zoneout(o_h_gen_ref[:], hn, zoneout_h)
+                o_c_gen_ref[:] = zoneout(o_c_gen_ref[:], cn, zoneout_c)
+
+            head_in_ref[:, :hidden] = o_h_gen_ref[:].astype(dtype)
+            head_in_ref[:, h_pad:h_pad + mem_dim] = ctx_d
+            fv = matmul(head_in_ref[:], head_w_ref) + head_b_ref[:]
+            frame = fv[:, :mmel]
+            o_frame_ref[:] = frame
+            out_spec_ref[s] = frame
+            out_stop_ref[s, :] = fv[:, mmel]
+            return 0
+
+        jax.lax.fori_loop(0, steps, step, 0)
+
+    return kernel
+
+
+def _attention_operands(bundle, memory_transform, t_len, att_dim, dtype):
+    """Fold the linear pieces of location-sensitive attention into plain
+    2-D matmul operands for the A-major flattened [B, A*T] energy layout.
+
+    - band[s, a*T + t] = lc[s - t + half, a]:  ``cum @ band`` is the k-tap
+      'same' location conv + projection (conv out[t] = sum_k lc[k] *
+      cum[t + k - half], so cum[s] contributes with tap k = s - t + half).
+    - qe[a', a*T + t] = 1 if a' == a:          ``q @ qe`` broadcasts the
+      projected query over every timestep.
+    - red[a*T + t, t'] = v[a] if t == t':      ``tanh(z) @ red`` applies the
+      energy vector and reduces over A in one matmul.
+    - the energy bias is added into the (transposed) memory transform.
+    """
+    lc, v, att_bias = bundle["lc"], bundle["v"], bundle["att_bias"]
+    k_size = lc.shape[0]
+    half = (k_size - 1) // 2
+    s_idx = jnp.arange(t_len)[:, None]
+    t_idx = jnp.arange(t_len)[None, :]
+    tap = s_idx - t_idx + half
+    valid = (tap >= 0) & (tap < k_size)
+    band_sta = jnp.where(
+        valid[:, :, None],
+        jnp.take(lc, jnp.clip(tap, 0, k_size - 1), axis=0),
+        0.0)                                                  # [T(s), T(t), A]
+    band = jnp.swapaxes(band_sta, 1, 2).reshape(t_len, att_dim * t_len)
+
+    eye_a = jnp.eye(att_dim, dtype=jnp.float32)
+    qe = jnp.repeat(eye_a, t_len, axis=1)                     # [A, A*T]
+
+    red = (v[:, None, None] * jnp.eye(t_len, dtype=jnp.float32)[None]
+           ).reshape(att_dim * t_len, t_len)                  # [A*T, T]
+
+    # mt transposed to A-major and pre-biased: mt_am[b, a*T + t]
+    mt_b = memory_transform.astype(jnp.float32) + att_bias[None]
+    b = memory_transform.shape[0]
+    mt_am = jnp.swapaxes(mt_b, 1, 2).reshape(b, att_dim * t_len)
+
+    return (band.astype(dtype), qe.astype(dtype), red.astype(dtype),
+            mt_am.astype(dtype))
+
+
+def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
+                in_widths, interpret):
+    f32 = jnp.float32
+    carry_shapes = (
+        jax.ShapeDtypeStruct((bb, hidden), f32),   # h_att
+        jax.ShapeDtypeStruct((bb, hidden), f32),   # c_att
+        jax.ShapeDtypeStruct((bb, hidden), f32),   # h_gen
+        jax.ShapeDtypeStruct((bb, hidden), f32),   # c_gen
+        jax.ShapeDtypeStruct((bb, mem_dim), f32),  # context
+        jax.ShapeDtypeStruct((bb, mmel), f32),     # frame
+        jax.ShapeDtypeStruct((bb, t_len), f32),    # cumulative weights
+    )
+    n_vmem_in = 13 + len(_WEIGHT_KEYS)
+    dtype = in_widths["dtype"]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((steps, bb, mmel), f32),
+            jax.ShapeDtypeStruct((steps, bb), f32),
+            *carry_shapes,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in,
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bb, in_widths["att"]), dtype),
+            pltpu.VMEM((bb, in_widths["gen"]), dtype),
+            pltpu.VMEM((bb, in_widths["head"]), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+
+def fused_decode_chunk(
+    bundle: Dict[str, jnp.ndarray],
+    carry: Carry,
+    memory: jnp.ndarray,             # [B, T, Mem] (compute dtype)
+    memory_transform: jnp.ndarray,   # [B, T, A]
+    mask: jnp.ndarray,               # [B, T] bool
+    rng: jax.Array,
+    chunk_frames: int,
+    *,
+    dropout_rate: float,
+    zoneout_h: float,
+    zoneout_c: float,
+    block_cap: int = 128,
+    interpret: bool = False,
+) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Drop-in replacement for ``Decoder.decode_chunk`` (inference mode).
+
+    Returns ``(new_carry, (spec [B, S, M], stop_logits [B, S]))`` with the
+    same carry pytree structure the XLA scan path uses, so chunks can be
+    chained across either implementation.
+    """
+    b, t_len, mem_dim = memory.shape
+    att_dim = memory_transform.shape[-1]
+    hidden = carry["h_att"].shape[-1]
+    mmel = carry["frame"].shape[-1]
+    prenet_dim = int(bundle["pre_w0"].shape[-1])
+    steps = int(chunk_frames)
+    bb = _largest_block(b, block_cap)
+    n_blocks = b // bb
+    dtype = bundle["att_w"].dtype
+
+    kernel = _build_kernel(
+        steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
+        float(dropout_rate), float(zoneout_h), float(zoneout_c), dtype)
+    in_widths = {
+        "att": int(bundle["att_w"].shape[0]),
+        "gen": int(bundle["gen_w"].shape[0]),
+        "head": int(bundle["head_w"].shape[0]),
+        "dtype": dtype,
+    }
+    call = _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel,
+                       att_dim, in_widths, interpret)
+
+    mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
+    seeds = jax.lax.bitcast_convert_type(
+        jax.random.bits(rng, (n_blocks, 1, 2), jnp.uint32), jnp.int32)
+    weights = tuple(bundle[k] for k in _WEIGHT_KEYS)
+    band, qe, red, mt_am = _attention_operands(
+        bundle, memory_transform, t_len, att_dim, dtype)
+
+    carry_in = (
+        carry["h_att"], carry["c_att"], carry["h_gen"], carry["c_gen"],
+        carry["context"], carry["frame"], carry["att_state"]["weights"],
+    )
+
+    specs, stops, carry_blocks = [], [], []
+    for i in range(n_blocks):
+        sl = slice(i * bb, (i + 1) * bb)
+        out = call(
+            seeds[i],
+            memory[sl].astype(dtype), mt_am[sl], mask_add[sl],
+            band, qe, red,
+            *(c[sl] for c in carry_in),
+            *weights,
+        )
+        specs.append(out[0])
+        stops.append(out[1])
+        carry_blocks.append(out[2:])
+
+    spec = jnp.swapaxes(jnp.concatenate(specs, axis=1), 0, 1)   # [B, S, M]
+    stop = jnp.swapaxes(jnp.concatenate(stops, axis=1), 0, 1)   # [B, S]
+    merged = [jnp.concatenate(parts, axis=0)
+              for parts in zip(*carry_blocks)]
+    new_carry = {
+        "h_att": merged[0], "c_att": merged[1],
+        "h_gen": merged[2], "c_gen": merged[3],
+        "context": merged[4], "frame": merged[5],
+        "att_state": {"weights": merged[6]},
+    }
+    return new_carry, (spec, stop)
+
+
+def make_decode_fn(hp, variables, compute_dtype=jnp.bfloat16,
+                   interpret: bool = False):
+    """Build a jit-ready ``(carry, memory, mt, mask, rng) -> (carry, (spec,
+    stop))`` closure over an extracted weight bundle, mirroring the
+    signature Synthesizer drives chunks with."""
+    bundle = extract_decoder_bundle(variables, compute_dtype)
+    zo = hp.decoder_regularization == "zoneout"
+    kwargs = dict(
+        dropout_rate=float(hp.dropout),
+        zoneout_h=float(hp.zoneout_hidden) if zo else 0.0,
+        zoneout_c=float(hp.zoneout_cell) if zo else 0.0,
+        interpret=interpret,
+    )
+    chunk = int(getattr(hp, "decode_chunk_frames", 64))
+
+    def decode_chunk(carry, memory, memory_transform, mask, rng,
+                     chunk_frames=chunk):
+        return fused_decode_chunk(
+            bundle, carry, memory, memory_transform, mask, rng,
+            chunk_frames, **kwargs)
+
+    return decode_chunk

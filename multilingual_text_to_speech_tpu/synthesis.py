@@ -18,6 +18,7 @@ encoders are padding-invariant thanks to per-layer length masking).
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -114,13 +115,64 @@ class Synthesizer:
             functools.partial(self.model.apply,
                               method=Tacotron.encode_for_inference)
         )
-        self._decode_chunk = jax.jit(
-            functools.partial(self.model.apply, method=Tacotron.decode_chunk),
-            static_argnames=("chunk_frames",),
-        )
+        self._decode_chunk = self._build_decode_chunk(compute_dtype)
         self._postnet = jax.jit(
             functools.partial(self.model.apply, method=Tacotron.apply_postnet)
         )
+
+    def _build_decode_chunk(self, compute_dtype):
+        """Pick the AR decode implementation for this config/hardware.
+
+        On TPU with a supported config (location-sensitive attention), the
+        fused whole-chunk Pallas kernel (ops/pallas_decoder.py) replaces the
+        XLA scan: decoder weights and attention memory stay VMEM-resident
+        across the chunk instead of streaming from HBM every step.  Both
+        paths share the same ``(variables, carry, memory, mt, mask, rng)``
+        call shape and carry pytree, so callers and chunk chaining are
+        implementation-agnostic.
+        """
+        from multilingual_text_to_speech_tpu.ops import pallas_decoder
+
+        xla_decode = jax.jit(
+            functools.partial(self.model.apply,
+                              method=Tacotron.decode_chunk),
+            static_argnames=("chunk_frames",),
+        )
+        # MTTS_PALLAS_DECODER: "" (auto), "off", or "interpret" (force the
+        # fused path through the Pallas interpreter on non-TPU backends —
+        # used by tests to exercise the wrapper + fallback off-device)
+        force = os.environ.get("MTTS_PALLAS_DECODER", "")
+        use_fused = (
+            bool(getattr(self.hp, "use_pallas_decoder", False))
+            and pallas_decoder.supports(self.hp)
+            and force != "off"
+            and (jax.devices()[0].platform == "tpu" or force == "interpret")
+        )
+        if not use_fused:
+            return xla_decode
+
+        fused = pallas_decoder.make_decode_fn(
+            self.hp, self.variables, compute_dtype,
+            interpret=(force == "interpret"))
+
+        @functools.partial(jax.jit, static_argnames=("chunk_frames",))
+        def fused_decode(variables, carry, memory, mt, mask, rng,
+                         chunk_frames=self.chunk):
+            del variables  # weights were extracted into the kernel bundle
+            return fused(carry, memory, mt, mask, rng,
+                         chunk_frames=chunk_frames)
+
+        def decode(variables, carry, memory, mt, mask, rng,
+                   chunk_frames=self.chunk):
+            # very long texts outgrow the kernel's VMEM-resident attention
+            # operands — fall back to the XLA scan for those shapes
+            if not pallas_decoder.supports_shapes(memory.shape[1]):
+                return xla_decode(variables, carry, memory, mt, mask, rng,
+                                  chunk_frames=chunk_frames)
+            return fused_decode(variables, carry, memory, mt, mask, rng,
+                                chunk_frames=chunk_frames)
+
+        return decode
 
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "Synthesizer":

@@ -63,12 +63,16 @@ def test_native_speedup():
     x = rng.randn(400, 12).astype(np.float32)
     y = rng.randn(420, 12).astype(np.float32)
 
-    t0 = time.perf_counter()
-    dtw_path_native(x, y)
-    t_native = time.perf_counter() - t0
+    def best_of(fn, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(x, y)
+            times.append(time.perf_counter() - t0)
+        return min(times)
 
-    t0 = time.perf_counter()
-    numpy_dtw(x, y)
-    t_numpy = time.perf_counter() - t0
-
+    # best-of-3 minima: robust to scheduler noise when the suite runs
+    # alongside other load
+    t_native = best_of(dtw_path_native)
+    t_numpy = best_of(numpy_dtw)
     assert t_native < t_numpy, (t_native, t_numpy)
