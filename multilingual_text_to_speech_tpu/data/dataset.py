@@ -43,6 +43,13 @@ class TextToSpeechDataset:
         with open(meta_file, "r", encoding="utf-8") as f:
             for line in f:
                 tokens = line.rstrip("\n").split("|")
+                if len(tokens) == 5:
+                    # the short corpus-inventory format the reference ships
+                    # for ComVoi (data/comvoi_clean/all.txt):
+                    # id|speaker|language|audio|text — no spectrograms or
+                    # phonemes yet (the reference's own Dataset cannot read
+                    # it; accepting it here is a deliberate superset)
+                    tokens = tokens[:4] + ["", "", tokens[4], ""]
                 if len(tokens) < 8:
                     continue
                 item = {

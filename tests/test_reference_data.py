@@ -63,6 +63,44 @@ def test_css10_val_metafile_parses_verbatim():
     assert unk / total < 0.001, f"UNK rate {unk}/{total}"
 
 
+def test_comvoi_clean_all_metafile_parses_verbatim():
+    """The full CommonVoice inventory (reference data/comvoi_clean/all.txt,
+    15,296 lines, short 5-field format id|speaker|lang|audio|text) parses
+    unchanged.  The reference's own Dataset requires 8 fields and would
+    IndexError on this shipped file; accepting the short format is a
+    documented superset (data/dataset.py)."""
+    hp = HParams.from_json(os.path.join(PARAMS, "generated_switching.json"))
+    root = os.path.join(HERE, "data", "comvoi_clean")
+    ds = TextToSpeechDataset(os.path.join(root, "all.txt"), root, hp)
+    lines = [
+        l.split("|")
+        for l in open(os.path.join(root, "all.txt"), encoding="utf-8")
+        .read().splitlines() if l
+    ]
+    assert len(ds) == len(lines) == 15296
+
+    for item, tokens in zip(ds.items, lines):
+        assert item["id"] == tokens[0]
+        # comvoi: bare per-language speaker labels ('01'); the raw column is
+        # the speaker key, so labels shared across languages share an index
+        # (reference dataset/dataset.py:79-96 semantics)
+        assert ds.unique_speakers[item["speaker"]] == tokens[1]
+        assert hp.languages[item["language"]] == tokens[2]
+        assert item["audio"] == tokens[3]
+
+    assert ds.get_num_languages() == 5
+    assert ds.get_num_speakers() == len({t[1] for t in lines}) == 45
+
+    unk = 0
+    total = 0
+    for item in ds.items:
+        seq = np.asarray(item["text"])
+        assert seq[-1] == 1
+        unk += int(np.sum(seq == 2))
+        total += len(seq)
+    assert unk / total < 0.001, f"UNK rate {unk}/{total}"
+
+
 def test_css_comvoi_val_metafile_parses_verbatim():
     ds, lines = _dataset("css_comvoi", "generated_switching")
     assert len(ds) == len(lines) == 656
