@@ -152,6 +152,12 @@ _DEFAULTS: Dict[str, Any] = {
     # supported (location-sensitive attention) and the backend is a TPU;
     # training and unsupported configs stay on the XLA scan.
     "use_pallas_decoder": True,
+    # Fused Pallas TRAINING decoder (ops/pallas_train_decoder.py): the
+    # teacher-forced scan runs as chunked forward/backward kernels under a
+    # custom VJP with weights and attention memory VMEM-resident. Applies on
+    # TPU for supported configs (location-sensitive attention, batch<=128);
+    # unsupported shapes/configs use the XLA scan.
+    "use_pallas_train_decoder": True,
     # Device mesh axis sizes: data parallel x model (language-group) parallel.
     "mesh_data_parallel": -1,  # -1 = all devices
     "mesh_model_parallel": 1,

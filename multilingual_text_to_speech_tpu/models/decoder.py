@@ -258,6 +258,25 @@ class Decoder(nn.Module):
         shifted = jnp.concatenate(
             [jnp.zeros_like(target[:, :1]), target[:, :-1]], axis=1
         )
+
+        if self._use_fused_train(b, t):
+            # fused Pallas chunk kernels with a custom VJP: weights and
+            # attention memory stay VMEM-resident across the scan in both
+            # the forward and the backward pass (ops/pallas_train_decoder.py)
+            from multilingual_text_to_speech_tpu.ops import (
+                pallas_train_decoder,
+            )
+
+            decode = pallas_train_decoder.make_train_decode_fn(
+                self.hp_model, dtype=self.dtype,
+                interpret=self._fused_train_interpret(),
+            )
+            spec, stops, aligns = decode(
+                self.variables["params"]["cell"], memory, memory_transform,
+                mask, shifted, teacher, rng_steps,
+            )
+            return spec, stops, aligns
+
         step_rngs = jax.random.split(rng_steps, frames)
 
         carry = self.initial_carry(b, t, memory.shape[-1])
@@ -272,6 +291,36 @@ class Decoder(nn.Module):
             jnp.swapaxes(spec, 0, 1),      # [B, F, M]
             jnp.swapaxes(stops, 0, 1),     # [B, F]
             jnp.swapaxes(aligns, 0, 1),    # [B, F, T]
+        )
+
+    def _fused_train_interpret(self) -> bool:
+        import os
+
+        return os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "") == "interpret"
+
+    def _use_fused_train(self, batch: int, t_len: int) -> bool:
+        """Route training decode through the fused Pallas kernels when the
+        config/hardware supports it (same gate shape as the Synthesizer's
+        inference kernel; MTTS_PALLAS_TRAIN_DECODER: ""/auto, "off", or
+        "interpret" to force the interpreter on non-TPU backends)."""
+        import os
+
+        if not self.train or self.is_initializing():
+            return False
+        from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
+
+        force = os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "")
+        hp = self.hp_model
+        return (
+            bool(getattr(hp, "use_pallas_train_decoder", False))
+            and pallas_train_decoder.supports(hp)
+            and pallas_train_decoder.supports_shapes(batch, t_len)
+            and force != "off"
+            # single-chip only: the XLA SPMD partitioner cannot shard the
+            # custom call over a data-parallel mesh (shard_map integration
+            # is the multi-chip path; the XLA scan handles DP meanwhile)
+            and (len(jax.devices()) == 1 or force == "interpret")
+            and (jax.devices()[0].platform == "tpu" or force == "interpret")
         )
 
     # -- inference (chunked) ---------------------------------------------------

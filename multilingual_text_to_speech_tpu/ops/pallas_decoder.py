@@ -125,15 +125,20 @@ def _pad_rows(kernel_mat, segments):
     return jnp.concatenate(parts, axis=0)
 
 
-def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16) -> Dict[str, jnp.ndarray]:
+def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16,
+                           cell_params=None) -> Dict[str, jnp.ndarray]:
     """Slice the flax decoder params into the kernel's operand layout.
 
     The fused-gate LSTM kernels ``[x_dim + hidden, 4*hidden]`` get their
     concat segments (prenet|context|hidden) row-padded to 128-lane
     boundaries; the frame and stop heads are fused into one
     ``[hidden+mem, num_mels+1]`` projection.  Done once per synthesizer.
+    ``cell_params`` overrides the default tree path — the training kernel
+    passes the DecoderCell subtree directly (and differentiates through
+    this whole function, so keep every transform here differentiable).
     """
-    p = variables["params"]["decoder"]["cell"]
+    p = (cell_params if cell_params is not None
+         else variables["params"]["decoder"]["cell"])
     pre0, pre1 = p["prenet"]["fc0"], p["prenet"]["fc1"]
     attg = p["attention_lstm"]["cell"]["gates"]
     geng = p["generator_lstm"]["cell"]["gates"]

@@ -1,0 +1,973 @@
+"""Pallas TPU kernels: the TRAINING decoder scan, forward AND backward.
+
+The teacher-forced training decode is the reference's hot loop
+(/root/reference/modules/tacotron2.py:180-207) differentiated through time.
+Round-2 profiling showed the jitted train step at batch 50 spends 83% of its
+device time in the two XLA `while` loops (forward scan 51 ms, backward scan
+70 ms of a 146 ms step): every one of the 512 sequential steps — and again
+every backward step — re-streams the ~36 MB of decoder gate weights from
+HBM, the same roofline the inference kernel (ops/pallas_decoder.py) already
+solved for serving.
+
+Here the scan runs as chunked Pallas kernels under a ``jax.custom_vjp``:
+
+- the FORWARD kernel advances S steps with weights, attention operands and
+  memory VMEM-resident, writing per-step residuals (post-zoneout LSTM
+  states, contexts, cumulative/instant attention weights, prenet
+  activations) to HBM in the compute dtype;
+- the BACKWARD kernel consumes those residuals in reverse, recomputing
+  gate pre-activations (storing them would cost GBs) and carrying the
+  step-to-step cotangent chain (dh/dc of both LSTMs, dcontext, dcum, the
+  frame-feedback gradient) entirely in VMEM.  Per-step gate/head/prenet
+  gradients are WRITTEN OUT instead of reduced in-kernel;
+- WEIGHT gradients then fall out as a handful of large MXU matmuls over
+  the stored activation/cotangent arrays (e.g. ``dW_gates = cat_inputs^T @
+  dgates`` over all B*F rows), plus in-kernel f32 accumulators for the
+  attention-operand gradients (dband, dred, dmt, dWq) whose per-step
+  contributions are rank-1-ish and cheap to fold on the fly.
+
+Stochasticity (always-on prenet dropout, train-mode zoneout / hidden
+dropout) uses the same counter-based hash PRNG as the inference kernel so
+the backward pass regenerates bit-exact masks from (seed, global step,
+salt) instead of storing them.
+
+The custom-vjp boundary takes the PADDED/FOLDED operands (gate matrices
+with 128-lane-aligned concat segments, the location conv folded into a
+banded matmul, the energy vector folded into a selector) — all built by
+differentiable XLA code in ``make_train_decode_fn``, so gradients for the
+original parameters (loc_filter, energy_kernel, biases, unpadded gate
+kernels) flow out of the returned operand cotangents automatically.
+
+Step math mirrors models/decoder.py::DecoderCell (reference loop body,
+tacotron2.py:180-198) with location-sensitive attention
+(modules/attention.py:39-45,67-86); forward/gradient parity vs the XLA scan
+and finite differences is asserted in tests/test_pallas_train_decoder.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
+    _LANES,
+    _MAX_MEMORY_LEN,
+    _NEG_INF,
+    _attention_operands,
+    _pad_rows,
+    _r128,
+    extract_decoder_bundle,
+)
+
+Carry = Dict[str, Any]
+
+
+def supports(hp) -> bool:
+    """True if the fused training decode covers this configuration."""
+    return (
+        hp.attention_type == "location_sensitive"
+        and int(getattr(hp, "prenet_layers", 2)) == 2
+        and hp.decoder_regularization in ("zoneout", "dropout")
+    )
+
+
+def supports_shapes(batch: int, memory_len: int) -> bool:
+    """Per-call shape gate: one batch block, VMEM-resident attention."""
+    return batch <= 128 and memory_len <= _MAX_MEMORY_LEN
+
+
+# ---------------------------------------------------------------------------
+# shared PRNG helpers (compiled and interpreter modes draw identical masks)
+# ---------------------------------------------------------------------------
+
+
+def _rand_bits(shape, seed0, seed1, salt):
+    """Counter-based uint32 hash (lowbias32); salt encodes (step, site)."""
+    x = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+         * jnp.uint32(shape[-1])
+         + jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1))
+    x = x + seed0 + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    x = x ^ (seed1 * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def _thresh(keep_rate: float) -> np.uint32:
+    return np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
+
+
+# salts: site index within a step (multiplied out by the global step)
+_SALT_PRE0, _SALT_PRE1 = 0, 1
+_SALT_ATT_H, _SALT_ATT_C = 2, 3
+_SALT_GEN_H, _SALT_GEN_C = 4, 5
+_SALT_SITES = 8
+
+
+class _Cfg:
+    """Static kernel configuration (dims, rates, padded widths)."""
+
+    def __init__(self, *, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
+                 dropout_rate, zoneout_h, zoneout_c, use_zoneout, dtype,
+                 fwd_chunk, bwd_chunk):
+        self.t_len = t_len
+        self.mem_dim = mem_dim
+        self.att_dim = att_dim
+        self.hidden = hidden
+        self.mmel = mmel
+        self.prenet_dim = prenet_dim
+        self.dropout_rate = float(dropout_rate)
+        self.zoneout_h = float(zoneout_h)
+        self.zoneout_c = float(zoneout_c)
+        self.use_zoneout = bool(use_zoneout)
+        self.dtype = dtype
+        self.fwd_chunk = fwd_chunk
+        self.bwd_chunk = bwd_chunk
+        self.h_pad = _r128(hidden)
+        self.m_pad = _r128(mem_dim)
+        self.p_pad = _r128(prenet_dim)
+        # concat input widths of the padded gate matrices
+        self.att_in = self.p_pad + self.m_pad + self.h_pad
+        self.gen_in = self.h_pad + self.m_pad + self.h_pad
+        self.head_in = self.h_pad + self.m_pad
+
+
+def _lstm_forward(gates, c_prev, hidden):
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c_new = f * c_prev + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new, (i, f, g, o)
+
+
+def _matmul(x, w_ref, dtype, contract=(1, 0)):
+    """2-D dot in the compute dtype with f32 accumulation.
+
+    ``contract=(1, 1)`` contracts against the second axis of the weight —
+    the transpose-free form used throughout the backward kernel."""
+    return jax.lax.dot_general(
+        x.astype(dtype), w_ref[:],
+        dimension_numbers=(((contract[0],), (contract[1],)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _build_fwd_kernel(cfg: _Cfg, steps: int):
+    """One chunk of S teacher-forced steps; writes outputs + residuals."""
+    d = cfg.dtype
+    hidden, mmel = cfg.hidden, cfg.mmel
+    p_pad, m_pad = cfg.p_pad, cfg.m_pad
+    prenet_dim, mem_dim = cfg.prenet_dim, cfg.mem_dim
+    keep_pre = 1.0 - cfg.dropout_rate
+    pre_thresh = _thresh(keep_pre)
+    pre_scale = 1.0 / keep_pre if keep_pre > 0.0 else 0.0
+    zh_thresh = _thresh(1.0 - cfg.zoneout_h)
+    zc_thresh = _thresh(1.0 - cfg.zoneout_c)
+    # dropout-regularized cells: rate on h only (models/rnn.py:85-104)
+    dh_keep = 1.0 - cfg.zoneout_h  # zoneout_h doubles as dropout_hidden
+    dh_thresh = _thresh(dh_keep)
+    dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
+
+    def kernel(ctrl_ref, teacher_ref,
+               # broadcast operands
+               mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref,
+               # chunk inputs
+               shifted_ref,
+               # incoming carry
+               h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
+               ctx0_ref, frame0_ref, cum0_ref,
+               # weights
+               pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
+               att_w_ref, att_b_ref, wq_ref,
+               gen_w_ref, gen_b_ref, head_w_ref, head_b_ref,
+               # outputs: per-step streams
+               spec_ref, stop_ref, w_ref,
+               r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
+               r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref,
+               # outgoing carry
+               o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
+               o_ctx_ref, o_frame_ref, o_cum_ref,
+               # scratch
+               att_in_ref, gen_in_ref, head_in_ref):
+        seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
+        seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
+        chunk_start = ctrl_ref[0, 2]
+
+        o_h_att_ref[:] = h_att0_ref[:]
+        o_c_att_ref[:] = c_att0_ref[:]
+        o_h_gen_ref[:] = h_gen0_ref[:]
+        o_c_gen_ref[:] = c_gen0_ref[:]
+        o_ctx_ref[:] = ctx0_ref[:]
+        o_frame_ref[:] = frame0_ref[:]
+        o_cum_ref[:] = cum0_ref[:]
+        att_in_ref[:] = jnp.zeros_like(att_in_ref)
+        gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
+        head_in_ref[:] = jnp.zeros_like(head_in_ref)
+        mask_add = mask_ref[:]
+
+        def cell_update(h_prev, c_prev, h_new, c_new, gs, salt_h, salt_c):
+            if cfg.use_zoneout:
+                bits_h = _rand_bits(h_new.shape, seed0, seed1,
+                                    gs * _SALT_SITES + salt_h)
+                bits_c = _rand_bits(c_new.shape, seed0, seed1,
+                                    gs * _SALT_SITES + salt_c)
+                h_out = jnp.where(bits_h < zh_thresh, h_new, h_prev)
+                c_out = jnp.where(bits_c < zc_thresh, c_new, c_prev)
+            else:
+                bits_h = _rand_bits(h_new.shape, seed0, seed1,
+                                    gs * _SALT_SITES + salt_h)
+                h_out = jnp.where(bits_h < dh_thresh, h_new * dh_scale, 0.0)
+                c_out = c_new
+            return h_out, c_out
+
+        def step(s, _):
+            gs = chunk_start + s
+            teacher = teacher_ref[0, s]
+            ctx = o_ctx_ref[:]
+            cum = o_cum_ref[:]
+
+            raw = jnp.where(teacher > 0, shifted_ref[s], o_frame_ref[:])
+            r_raw_ref[s] = raw.astype(d)
+
+            # prenet (dropout always on)
+            a1 = _matmul(raw, pre_w0_ref, d) + pre_b0_ref[:]
+            r1 = jax.nn.relu(a1)
+            if cfg.dropout_rate > 0.0:
+                bits = _rand_bits(r1.shape, seed0, seed1,
+                                  gs * _SALT_SITES + _SALT_PRE0)
+                d1 = jnp.where(bits < pre_thresh, r1 * pre_scale, 0.0)
+            else:
+                d1 = r1
+            r_d1_ref[s] = d1.astype(d)
+            a2 = _matmul(d1, pre_w1_ref, d) + pre_b1_ref[:]
+            r2 = jax.nn.relu(a2)
+            if cfg.dropout_rate > 0.0:
+                bits = _rand_bits(r2.shape, seed0, seed1,
+                                  gs * _SALT_SITES + _SALT_PRE1)
+                x = jnp.where(bits < pre_thresh, r2 * pre_scale, 0.0)
+            else:
+                x = r2
+            r_x_ref[s] = x.astype(d)
+
+            # attention LSTM
+            att_in_ref[:, :prenet_dim] = x.astype(d)
+            att_in_ref[:, p_pad:p_pad + mem_dim] = ctx.astype(d)
+            att_in_ref[:, p_pad + m_pad:p_pad + m_pad + hidden] = (
+                o_h_att_ref[:].astype(d))
+            gates = _matmul(att_in_ref[:], att_w_ref, d) + att_b_ref[:]
+            h_new, c_new, _ = _lstm_forward(gates, o_c_att_ref[:], hidden)
+            h_att, c_att = cell_update(
+                o_h_att_ref[:], o_c_att_ref[:], h_new, c_new, gs,
+                _SALT_ATT_H, _SALT_ATT_C)
+            o_h_att_ref[:] = h_att
+            o_c_att_ref[:] = c_att
+            r_h_att_ref[s] = h_att.astype(d)
+            r_c_att_ref[s] = c_att.astype(d)
+
+            # location-sensitive attention (A-major folded layout)
+            r_cum_ref[s] = cum.astype(d)  # cum BEFORE this step's update
+            q = _matmul(h_att, wq_ref, d).astype(d)
+            loc = _matmul(cum, band_ref, d).astype(d)
+            qt = _matmul(q, qe_ref, d).astype(d)
+            tz = jnp.tanh(loc + qt + mt_ref[:])
+            e = _matmul(tz, red_ref, d) + mask_add
+            e = e - jnp.max(e, axis=-1, keepdims=True)
+            p = jnp.exp(e)
+            w = p / jnp.sum(p, axis=-1, keepdims=True)
+            w_ref[s] = w
+            ctx = jnp.sum(mem_ref[:] * w[:, :, None].astype(d),
+                          axis=1, dtype=jnp.float32)
+            o_ctx_ref[:] = ctx
+            o_cum_ref[:] = cum + w
+            r_ctx_ref[s] = ctx.astype(d)
+
+            # generator LSTM
+            gen_in_ref[:, :hidden] = h_att.astype(d)
+            gen_in_ref[:, cfg.h_pad:cfg.h_pad + mem_dim] = ctx.astype(d)
+            gen_in_ref[:, cfg.h_pad + m_pad:cfg.h_pad + m_pad + hidden] = (
+                o_h_gen_ref[:].astype(d))
+            gates = _matmul(gen_in_ref[:], gen_w_ref, d) + gen_b_ref[:]
+            h_new, c_new, _ = _lstm_forward(gates, o_c_gen_ref[:], hidden)
+            h_gen, c_gen = cell_update(
+                o_h_gen_ref[:], o_c_gen_ref[:], h_new, c_new, gs,
+                _SALT_GEN_H, _SALT_GEN_C)
+            o_h_gen_ref[:] = h_gen
+            o_c_gen_ref[:] = c_gen
+            r_h_gen_ref[s] = h_gen.astype(d)
+            r_c_gen_ref[s] = c_gen.astype(d)
+
+            # frame/stop heads (fused)
+            head_in_ref[:, :hidden] = h_gen.astype(d)
+            head_in_ref[:, cfg.h_pad:cfg.h_pad + mem_dim] = ctx.astype(d)
+            fv = _matmul(head_in_ref[:], head_w_ref, d) + head_b_ref[:]
+            frame = fv[:, :mmel]
+            o_frame_ref[:] = frame
+            spec_ref[s] = frame
+            stop_ref[s, :] = fv[:, mmel]
+            return 0
+
+        jax.lax.fori_loop(0, steps, step, 0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _build_bwd_kernel(cfg: _Cfg, steps: int):
+    """One chunk of S steps in REVERSE; consumes fwd residuals, carries the
+    step-to-step cotangent chain, writes per-step gate/head/prenet grads and
+    accumulates the attention-operand grads in f32."""
+    d = cfg.dtype
+    hidden, mmel = cfg.hidden, cfg.mmel
+    p_pad, m_pad, h_pad = cfg.p_pad, cfg.m_pad, cfg.h_pad
+    prenet_dim, mem_dim = cfg.prenet_dim, cfg.mem_dim
+    keep_pre = 1.0 - cfg.dropout_rate
+    pre_scale = 1.0 / keep_pre if keep_pre > 0.0 else 0.0
+    zh_thresh = _thresh(1.0 - cfg.zoneout_h)
+    zc_thresh = _thresh(1.0 - cfg.zoneout_c)
+    dh_keep = 1.0 - cfg.zoneout_h
+    dh_thresh = _thresh(dh_keep)
+    dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
+
+    def kernel(ctrl_ref, teacher_ref,
+               # broadcast operands
+               mem_ref, mt_ref, band_ref, qe_ref, red_ref,
+               # weights needed for recompute / transpose-matmuls
+               pre_w0_ref, pre_w1_ref,
+               att_w_ref, att_b_ref, wq_ref, gen_w_ref, gen_b_ref,
+               head_w_ref,
+               # fwd residual streams for this chunk
+               r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
+               r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref, r_w_ref,
+               # chunk-entry states (the carry that ENTERED this chunk)
+               h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
+               ctx0_ref,
+               # output cotangent streams
+               dspec_ref, dstop_ref, dw_out_ref,
+               # incoming cotangent carry (from the chunk after this one)
+               i_dh_att_ref, i_dc_att_ref, i_dh_gen_ref, i_dc_gen_ref,
+               i_dctx_ref, i_dcum_ref, i_dframe_ref,
+               # outputs: per-step grad streams
+               dg_att_ref, dg_gen_ref, da_frame_ref,
+               da1_ref, da2_ref, dctx_out_ref, dshift_ref,
+               # outputs: f32 accumulators (summed over chunks outside)
+               dmt_acc_ref, dband_acc_ref, dred_acc_ref, dwq_acc_ref,
+               # outputs: outgoing cotangent carry
+               o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
+               o_dctx_ref, o_dcum_ref, o_dframe_ref,
+               # scratch concat buffers
+               att_in_ref, gen_in_ref):
+        seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
+        seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
+        chunk_start = ctrl_ref[0, 2]
+
+        o_dh_att_ref[:] = i_dh_att_ref[:]
+        o_dc_att_ref[:] = i_dc_att_ref[:]
+        o_dh_gen_ref[:] = i_dh_gen_ref[:]
+        o_dc_gen_ref[:] = i_dc_gen_ref[:]
+        o_dctx_ref[:] = i_dctx_ref[:]
+        o_dcum_ref[:] = i_dcum_ref[:]
+        o_dframe_ref[:] = i_dframe_ref[:]
+        dmt_acc_ref[:] = jnp.zeros_like(dmt_acc_ref)
+        dband_acc_ref[:] = jnp.zeros_like(dband_acc_ref)
+        dred_acc_ref[:] = jnp.zeros_like(dred_acc_ref)
+        dwq_acc_ref[:] = jnp.zeros_like(dwq_acc_ref)
+        att_in_ref[:] = jnp.zeros_like(att_in_ref)
+        gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
+
+        def masks(shape, gs, salt):
+            return _rand_bits(shape, seed0, seed1, gs * _SALT_SITES + salt)
+
+        def cell_backward(dh_tot, dc_tot, gates, c_prev, gs, salt_h, salt_c):
+            """Shared LSTM+regularization backward.
+
+            Returns (dgates [B,4H], dh_prev_reg, dc_prev) where dh_prev_reg
+            is the regularization's pass-through gradient to the previous h
+            (zoneout keep-old path; zero for dropout cells)."""
+            i = jax.nn.sigmoid(gates[:, :hidden])
+            f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            c_new = f * c_prev + i * g
+            tanh_c = jnp.tanh(c_new)
+            if cfg.use_zoneout:
+                zh = masks((dh_tot.shape[0], hidden), gs, salt_h) < zh_thresh
+                zc = masks((dc_tot.shape[0], hidden), gs, salt_c) < zc_thresh
+                dh_new = jnp.where(zh, dh_tot, 0.0)
+                dh_prev_reg = jnp.where(zh, 0.0, dh_tot)
+                dc_from_state = jnp.where(zc, dc_tot, 0.0)
+                dc_prev_reg = jnp.where(zc, 0.0, dc_tot)
+            else:
+                keep = masks((dh_tot.shape[0], hidden), gs, salt_h) < dh_thresh
+                dh_new = jnp.where(keep, dh_tot * dh_scale, 0.0)
+                dh_prev_reg = jnp.zeros_like(dh_tot)
+                dc_from_state = dc_tot
+                dc_prev_reg = jnp.zeros_like(dc_tot)
+            dc_new = dc_from_state + dh_new * o * (1.0 - tanh_c * tanh_c)
+            dc_prev = dc_prev_reg + dc_new * f
+            dgi = dc_new * g * i * (1.0 - i)
+            dgf = dc_new * c_prev * f * (1.0 - f)
+            dgg = dc_new * i * (1.0 - g * g)
+            dgo = dh_new * tanh_c * o * (1.0 - o)
+            return (jnp.concatenate([dgi, dgf, dgg, dgo], axis=1),
+                    dh_prev_reg, dc_prev)
+
+        def prev(r_ref, init_ref, s):
+            guard = jnp.maximum(s - 1, 0)
+            return jnp.where(s > 0, r_ref[guard].astype(jnp.float32),
+                             init_ref[:])
+
+        def step(idx, _):
+            s = steps - 1 - idx
+            gs = chunk_start + s
+            teacher = teacher_ref[0, s]
+
+            h_att_s = r_h_att_ref[s].astype(jnp.float32)
+            ctx_s = r_ctx_ref[s].astype(jnp.float32)
+            cum_s = r_cum_ref[s].astype(jnp.float32)
+            w_s = r_w_ref[s]
+            h_att_prev = prev(r_h_att_ref, h_att0_ref, s)
+            c_att_prev = prev(r_c_att_ref, c_att0_ref, s)
+            h_gen_prev = prev(r_h_gen_ref, h_gen0_ref, s)
+            c_gen_prev = prev(r_c_gen_ref, c_gen0_ref, s)
+            ctx_prev = prev(r_ctx_ref, ctx0_ref, s)
+
+            # ---- heads --------------------------------------------------
+            dframe_tot = dspec_ref[s] + o_dframe_ref[:]
+            da_frame_ref[s] = dframe_tot.astype(d)
+            head_w = head_w_ref[:]
+            dproto = jax.lax.dot_general(
+                dframe_tot.astype(d), head_w[:, :mmel],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dproto = dproto + (dstop_ref[s, :][:, None]
+                               * head_w[:, mmel][None, :].astype(jnp.float32))
+            dh_gen_tot = o_dh_gen_ref[:] + dproto[:, :hidden]
+            dctx_tot = o_dctx_ref[:] + dproto[:, h_pad:h_pad + mem_dim]
+
+            # ---- generator LSTM ----------------------------------------
+            gen_in_ref[:, :hidden] = h_att_s.astype(d)
+            gen_in_ref[:, h_pad:h_pad + mem_dim] = ctx_s.astype(d)
+            gen_in_ref[:, h_pad + m_pad:h_pad + m_pad + hidden] = (
+                h_gen_prev.astype(d))
+            gates_g = _matmul(gen_in_ref[:], gen_w_ref, d) + gen_b_ref[:]
+            dgates_g, dh_prev_reg_g, dc_prev_g = cell_backward(
+                dh_gen_tot, o_dc_gen_ref[:], gates_g, c_gen_prev, gs,
+                _SALT_GEN_H, _SALT_GEN_C)
+            dg_gen_ref[s] = dgates_g.astype(d)
+            dcat_g = _matmul(dgates_g, gen_w_ref, d, contract=(1, 1))
+            dh_att_tot = o_dh_att_ref[:] + dcat_g[:, :hidden]
+            dctx_tot = dctx_tot + dcat_g[:, h_pad:h_pad + mem_dim]
+            o_dh_gen_ref[:] = (dh_prev_reg_g
+                               + dcat_g[:, h_pad + m_pad:
+                                        h_pad + m_pad + hidden])
+            o_dc_gen_ref[:] = dc_prev_g
+
+            # ---- attention ---------------------------------------------
+            dctx_out_ref[s] = dctx_tot.astype(d)
+            dw = (dw_out_ref[s] + o_dcum_ref[:]
+                  + jnp.sum(mem_ref[:].astype(jnp.float32)
+                            * dctx_tot[:, None, :], axis=2))
+            de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
+            # recompute the energy chain
+            q = _matmul(h_att_s, wq_ref, d).astype(d)
+            loc = _matmul(cum_s, band_ref, d).astype(d)
+            qt = _matmul(q, qe_ref, d).astype(d)
+            tz = jnp.tanh(loc + qt + mt_ref[:])
+            dtz = _matmul(de, red_ref, d, contract=(1, 1))
+            dz = dtz * (1.0 - tz.astype(jnp.float32) ** 2)
+            dmt_acc_ref[:] += dz
+            dband_acc_ref[:] += jax.lax.dot_general(
+                cum_s.astype(d), dz.astype(d),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dred_acc_ref[:] += jax.lax.dot_general(
+                tz, de.astype(d),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = _matmul(dz, qe_ref, d, contract=(1, 1))
+            dwq_acc_ref[:] += jax.lax.dot_general(
+                h_att_s.astype(d), dq.astype(d),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d, contract=(1, 1))
+            o_dcum_ref[:] += _matmul(dz, band_ref, d, contract=(1, 1))
+
+            # ---- attention LSTM ----------------------------------------
+            x_s = r_x_ref[s].astype(jnp.float32)
+            att_in_ref[:, :prenet_dim] = x_s.astype(d)
+            att_in_ref[:, p_pad:p_pad + mem_dim] = ctx_prev.astype(d)
+            att_in_ref[:, p_pad + m_pad:p_pad + m_pad + hidden] = (
+                h_att_prev.astype(d))
+            gates_a = _matmul(att_in_ref[:], att_w_ref, d) + att_b_ref[:]
+            dgates_a, dh_prev_reg_a, dc_prev_a = cell_backward(
+                dh_att_tot, o_dc_att_ref[:], gates_a, c_att_prev, gs,
+                _SALT_ATT_H, _SALT_ATT_C)
+            dg_att_ref[s] = dgates_a.astype(d)
+            dcat_a = _matmul(dgates_a, att_w_ref, d, contract=(1, 1))
+            dx = dcat_a[:, :prenet_dim]
+            o_dctx_ref[:] = dcat_a[:, p_pad:p_pad + mem_dim]
+            o_dh_att_ref[:] = (dh_prev_reg_a
+                               + dcat_a[:, p_pad + m_pad:
+                                        p_pad + m_pad + hidden])
+            o_dc_att_ref[:] = dc_prev_a
+
+            # ---- prenet -------------------------------------------------
+            da2 = jnp.where(x_s > 0.0, dx * pre_scale, 0.0)
+            da2_ref[s] = da2.astype(d)
+            dd1 = _matmul(da2, pre_w1_ref, d, contract=(1, 1))
+            d1_s = r_d1_ref[s].astype(jnp.float32)
+            da1 = jnp.where(d1_s > 0.0, dd1 * pre_scale, 0.0)
+            da1_ref[s] = da1.astype(d)
+            draw = _matmul(da1, pre_w0_ref, d, contract=(1, 1))
+            dshift_ref[s] = jnp.where(teacher > 0, draw, 0.0).astype(d)
+            o_dframe_ref[:] = jnp.where(teacher > 0, 0.0, draw)
+            return 0
+
+        jax.lax.fori_loop(0, steps, step, 0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# drivers: chunked pallas calls + custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _chunk_size(total: int, cap: int) -> int:
+    for s in range(min(cap, total), 0, -1):
+        if total % s == 0:
+            return s
+    return total
+
+
+def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
+                budget: int = 110 * 1024 * 1024) -> int:
+    """Largest chunk S <= cap whose kernel fits the VMEM budget.
+
+    Rough byte model (validated against Mosaic's OOM dumps on the v5e):
+    weights + attention operands are chunk-independent; residual/cotangent
+    streams and per-step grad outputs scale with S."""
+    esize = 2 if cfg.dtype == jnp.bfloat16 else 4
+    bb = -(-b // 8) * 8
+    t, a = cfg.t_len, cfg.att_dim
+    at = a * t
+    fixed = esize * (
+        cfg.att_in * 4 * cfg.hidden        # att_w
+        + cfg.gen_in * 4 * cfg.hidden      # gen_w
+        + cfg.head_in * (cfg.mmel + 1)     # head_w
+        + cfg.mmel * cfg.prenet_dim + cfg.prenet_dim * cfg.prenet_dim
+        + cfg.hidden * a                   # wq
+        + t * at + a * at + at * t         # band, qe, red
+        + bb * at                          # mt_am
+        + bb * t * _r128(cfg.mem_dim)      # memory
+    ) + 4 * bb * (4 * cfg.hidden + cfg.mem_dim + cfg.t_len + cfg.mmel) * 4
+    if backward:
+        fixed += 4 * (bb * at + t * at + at * t + cfg.hidden * a)  # f32 accs
+    # per-step stream bytes (residuals in/out + grads out + cotangents)
+    per_step = esize * bb * (
+        4 * cfg.hidden + cfg.mem_dim + t + 2 * cfg.prenet_dim + cfg.mmel)
+    if backward:
+        per_step += esize * bb * (8 * cfg.hidden + 2 * cfg.mmel
+                                  + 2 * cfg.prenet_dim + cfg.mem_dim)
+        per_step += 4 * bb * (cfg.mmel + 1 + t + t)  # dspec/dstop/dw_out + w
+    else:
+        per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
+    s = cap
+    while s > 1 and fixed + s * per_step > budget:
+        s //= 2
+    return max(s, 1)
+
+
+_WEIGHT_ORDER = ("pre_w0", "pre_b0", "pre_w1", "pre_b1",
+                 "att_w", "att_b", "wq", "gen_w", "gen_b",
+                 "head_w", "head_b")
+_BWD_WEIGHT_ORDER = ("pre_w0", "pre_w1", "att_w", "att_b", "wq",
+                     "gen_w", "gen_b", "head_w")
+
+_VMEM_LIMIT = 128 * 1024 * 1024
+
+
+def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
+    f32 = jnp.float32
+    d = cfg.dtype
+    t, mem, hid, mmel, p = (cfg.t_len, cfg.mem_dim, cfg.hidden, cfg.mmel,
+                            cfg.prenet_dim)
+    kernel = _build_fwd_kernel(cfg, steps)
+    out_shape = (
+        jax.ShapeDtypeStruct((steps, b, mmel), f32),   # spec
+        jax.ShapeDtypeStruct((steps, b), f32),         # stop
+        jax.ShapeDtypeStruct((steps, b, t), f32),      # w
+        jax.ShapeDtypeStruct((steps, b, hid), d),      # r_h_att
+        jax.ShapeDtypeStruct((steps, b, hid), d),      # r_c_att
+        jax.ShapeDtypeStruct((steps, b, hid), d),      # r_h_gen
+        jax.ShapeDtypeStruct((steps, b, hid), d),      # r_c_gen
+        jax.ShapeDtypeStruct((steps, b, mem), d),      # r_ctx
+        jax.ShapeDtypeStruct((steps, b, t), d),        # r_cum
+        jax.ShapeDtypeStruct((steps, b, p), d),        # r_x
+        jax.ShapeDtypeStruct((steps, b, p), d),        # r_d1
+        jax.ShapeDtypeStruct((steps, b, mmel), d),     # r_raw
+        jax.ShapeDtypeStruct((b, hid), f32),           # carries...
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, mem), f32),
+        jax.ShapeDtypeStruct((b, mmel), f32),
+        jax.ShapeDtypeStruct((b, t), f32),
+    )
+    n_vmem_in = 7 + 7 + len(_WEIGHT_ORDER)  # broadcast+shifted, carry, weights
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((b, cfg.att_in), d),
+            pltpu.VMEM((b, cfg.gen_in), d),
+            pltpu.VMEM((b, cfg.head_in), d),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
+    f32 = jnp.float32
+    d = cfg.dtype
+    t, mem, hid, mmel, p, a = (cfg.t_len, cfg.mem_dim, cfg.hidden, cfg.mmel,
+                               cfg.prenet_dim, cfg.att_dim)
+    kernel = _build_bwd_kernel(cfg, steps)
+    out_shape = (
+        jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_att
+        jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_gen
+        jax.ShapeDtypeStruct((steps, b, mmel), d),     # da_frame
+        jax.ShapeDtypeStruct((steps, b, p), d),        # da1
+        jax.ShapeDtypeStruct((steps, b, p), d),        # da2
+        jax.ShapeDtypeStruct((steps, b, mem), d),      # dctx_out
+        jax.ShapeDtypeStruct((steps, b, mmel), d),     # dshift
+        jax.ShapeDtypeStruct((b, a * t), f32),         # dmt_acc
+        jax.ShapeDtypeStruct((t, a * t), f32),         # dband_acc
+        jax.ShapeDtypeStruct((a * t, t), f32),         # dred_acc
+        jax.ShapeDtypeStruct((hid, a), f32),           # dwq_acc
+        jax.ShapeDtypeStruct((b, hid), f32),           # carry out...
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, hid), f32),
+        jax.ShapeDtypeStruct((b, mem), f32),
+        jax.ShapeDtypeStruct((b, t), f32),
+        jax.ShapeDtypeStruct((b, mmel), f32),
+    )
+    n_vmem_in = (5 + len(_BWD_WEIGHT_ORDER) + 10 + 5 + 3 + 7)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((b, cfg.att_in), d),
+            pltpu.VMEM((b, cfg.gen_in), d),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )
+
+
+def _pad_cat(parts, widths, pads, dtype):
+    """Concatenate ``parts`` along the last axis with each segment zero-padded
+    to its 128-lane boundary — the activation-side mirror of _pad_rows."""
+    segs = []
+    for x, width, pad in zip(parts, widths, pads):
+        x = x.astype(dtype)
+        if pad > width:
+            z = jnp.zeros(x.shape[:-1] + (pad - width,), dtype)
+            x = jnp.concatenate([x, z], axis=-1)
+        segs.append(x)
+    return jnp.concatenate(segs, axis=-1)
+
+
+def _zero_ct(x):
+    """Cotangent for a non-differentiable (integer) input."""
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+def make_core(cfg: _Cfg, interpret: bool = False):
+    """Build the custom-vjp core: (ops, memory, mask_add, shifted, teacher,
+    seeds, init_carry) -> (spec [F,B,M] f32, stop [F,B], w [F,B,T]).
+
+    ``ops`` holds the padded/folded operands (differentiable inputs);
+    ``teacher`` is int32 [F]; ``seeds`` int32 [2]; ``init_carry`` the
+    7-tuple (h_att, c_att, h_gen, c_gen, ctx, frame, cum), all f32.
+    """
+    d = cfg.dtype
+    qe = jnp.repeat(jnp.eye(cfg.att_dim, dtype=jnp.float32),
+                    cfg.t_len, axis=1).astype(d)
+
+    def _run_forward(ops, memory, mask_add, shifted, teacher, seeds,
+                     init_carry):
+        f = shifted.shape[0]
+        b = memory.shape[0]
+        s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.fwd_chunk, False))
+        call = _fwd_call(cfg, s_chunk, b, interpret)
+        w_ops = []
+        for k in _WEIGHT_ORDER:
+            v = ops[k]
+            w_ops.append(v.astype(jnp.float32) if k.endswith(("b0", "b1"))
+                         or k in ("att_b", "gen_b", "head_b") else
+                         v.astype(d))
+        mem_d = memory.astype(d)
+        band, red, mt_am = (ops["band"].astype(d), ops["red"].astype(d),
+                            ops["mt_am"].astype(d))
+        carry = tuple(init_carry)
+        per_chunk = []
+        for k in range(f // s_chunk):
+            ctrl = jnp.concatenate(
+                [seeds.reshape(2), jnp.asarray([k * s_chunk], jnp.int32)]
+            ).reshape(1, 3)
+            t_chunk = teacher[k * s_chunk:(k + 1) * s_chunk].reshape(1, -1)
+            out = call(
+                ctrl, t_chunk,
+                mem_d, mt_am, mask_add, band, qe, red,
+                shifted[k * s_chunk:(k + 1) * s_chunk].astype(d),
+                *carry,
+                *w_ops,
+            )
+            per_chunk.append(out[:12])
+            carry = out[12:]
+        streams = [jnp.concatenate(parts, axis=0)
+                   for parts in zip(*per_chunk)]
+        (spec, stop, w_seq, r_h_att, r_c_att, r_h_gen, r_c_gen,
+         r_ctx, r_cum, r_x, r_d1, r_raw) = streams
+        residuals = (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
+                     r_x, r_d1, r_raw, w_seq)
+        return (spec, stop, w_seq), residuals
+
+    def core(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
+        outs, _ = _run_forward(ops, memory, mask_add, shifted, teacher,
+                               seeds, init_carry)
+        return outs
+
+    core_vjp = jax.custom_vjp(core)
+
+    def core_fwd(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
+        outs, residuals = _run_forward(ops, memory, mask_add, shifted,
+                                       teacher, seeds, init_carry)
+        return outs, (ops, memory, mask_add, shifted, teacher, seeds,
+                      init_carry, residuals)
+
+    def core_bwd(res, cts):
+        (ops, memory, mask_add, shifted, teacher, seeds, init_carry,
+         residuals) = res
+        dspec, dstop, dw_out = cts
+        (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
+         r_x, r_d1, r_raw, w_seq) = residuals
+        f = shifted.shape[0]
+        b = memory.shape[0]
+        s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.bwd_chunk, True))
+        call = _bwd_call(cfg, s_chunk, b, interpret)
+
+        w_ops = {k: (ops[k].astype(jnp.float32)
+                     if k in ("att_b", "gen_b") else ops[k].astype(d))
+                 for k in _BWD_WEIGHT_ORDER}
+        mem_d = memory.astype(d)
+        band, red, mt_am = (ops["band"].astype(d), ops["red"].astype(d),
+                            ops["mt_am"].astype(d))
+        (h0, c0, hg0, cg0, ctx0, frame0, cum0) = init_carry
+
+        # cotangent chain starts at zero: the final states are unused
+        dcarry = (jnp.zeros((b, cfg.hidden), jnp.float32),
+                  jnp.zeros((b, cfg.hidden), jnp.float32),
+                  jnp.zeros((b, cfg.hidden), jnp.float32),
+                  jnp.zeros((b, cfg.hidden), jnp.float32),
+                  jnp.zeros((b, cfg.mem_dim), jnp.float32),
+                  jnp.zeros((b, cfg.t_len), jnp.float32),
+                  jnp.zeros((b, cfg.mmel), jnp.float32))
+        # kernel carry order: dh_att, dc_att, dh_gen, dc_gen, dctx, dcum, dframe
+        dcarry = (dcarry[0], dcarry[1], dcarry[2], dcarry[3],
+                  dcarry[4], dcarry[5], dcarry[6])
+
+        accs = None
+        per_chunk = [None] * (f // s_chunk)
+        for k in range(f // s_chunk - 1, -1, -1):
+            lo, hi = k * s_chunk, (k + 1) * s_chunk
+            ctrl = jnp.concatenate(
+                [seeds.reshape(2), jnp.asarray([lo], jnp.int32)]
+            ).reshape(1, 3)
+            t_chunk = teacher[lo:hi].reshape(1, -1)
+            if k == 0:
+                entry = (h0, c0, hg0, cg0, ctx0)
+            else:
+                entry = (r_h_att[lo - 1].astype(jnp.float32),
+                         r_c_att[lo - 1].astype(jnp.float32),
+                         r_h_gen[lo - 1].astype(jnp.float32),
+                         r_c_gen[lo - 1].astype(jnp.float32),
+                         r_ctx[lo - 1].astype(jnp.float32))
+            out = call(
+                ctrl, t_chunk,
+                mem_d, mt_am, band, qe, red,
+                *(w_ops[kk] for kk in _BWD_WEIGHT_ORDER),
+                r_h_att[lo:hi], r_c_att[lo:hi], r_h_gen[lo:hi],
+                r_c_gen[lo:hi], r_ctx[lo:hi], r_cum[lo:hi],
+                r_x[lo:hi], r_d1[lo:hi], r_raw[lo:hi], w_seq[lo:hi],
+                *entry,
+                dspec[lo:hi], dstop[lo:hi], dw_out[lo:hi],
+                *dcarry,
+            )
+            per_chunk[k] = out[:7]
+            chunk_accs = out[7:11]
+            accs = (chunk_accs if accs is None else
+                    tuple(a + c for a, c in zip(accs, chunk_accs)))
+            dcarry = out[11:]
+
+        streams = [jnp.concatenate(parts, axis=0)
+                   for parts in zip(*per_chunk)]
+        (dg_att, dg_gen, da_frame, da1, da2, dctx_seq, dshift) = streams
+        dmt_am, dband, dred, dwq = accs
+
+        # ---- weight gradients: large MXU matmuls over stored streams ----
+        hid, mem, p, mmel = cfg.hidden, cfg.mem_dim, cfg.prenet_dim, cfg.mmel
+        h_pad, m_pad, p_pad = cfg.h_pad, cfg.m_pad, cfg.p_pad
+
+        def shift1(r, init):
+            return jnp.concatenate([init[None].astype(r.dtype), r[:-1]],
+                                   axis=0)
+
+        def flat(x):
+            return x.reshape(f * b, x.shape[-1])
+
+        def wgrad(cat, dg):
+            return jax.lax.dot_general(
+                flat(cat), flat(dg),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        cat_att = _pad_cat(
+            [r_x, shift1(r_ctx, ctx0), shift1(r_h_att, h0)],
+            [p, mem, hid], [p_pad, m_pad, h_pad], d)
+        d_att_w = wgrad(cat_att, dg_att)
+        d_att_b = jnp.sum(dg_att.astype(jnp.float32), axis=(0, 1))[None, :]
+
+        cat_gen = _pad_cat(
+            [r_h_att, r_ctx, shift1(r_h_gen, hg0)],
+            [hid, mem, hid], [h_pad, m_pad, h_pad], d)
+        d_gen_w = wgrad(cat_gen, dg_gen)
+        d_gen_b = jnp.sum(dg_gen.astype(jnp.float32), axis=(0, 1))[None, :]
+
+        cat_head = _pad_cat([r_h_gen, r_ctx], [hid, mem], [h_pad, m_pad], d)
+        dfv = jnp.concatenate(
+            [da_frame.astype(d), dstop[..., None].astype(d)], axis=-1)
+        d_head_w = wgrad(cat_head, dfv)
+        d_head_b = jnp.sum(dfv.astype(jnp.float32), axis=(0, 1))[None, :]
+
+        d_pre_w0 = wgrad(r_raw, da1)
+        d_pre_b0 = jnp.sum(da1.astype(jnp.float32), axis=(0, 1))[None, :]
+        d_pre_w1 = wgrad(r_d1, da2)
+        d_pre_b1 = jnp.sum(da2.astype(jnp.float32), axis=(0, 1))[None, :]
+
+        d_memory = jnp.einsum(
+            "sbt,sbm->btm", w_seq.astype(jnp.float32),
+            dctx_seq.astype(jnp.float32))
+
+        d_ops = {
+            "pre_w0": d_pre_w0, "pre_b0": d_pre_b0,
+            "pre_w1": d_pre_w1, "pre_b1": d_pre_b1,
+            "att_w": d_att_w, "att_b": d_att_b, "wq": dwq,
+            "gen_w": d_gen_w, "gen_b": d_gen_b,
+            "head_w": d_head_w, "head_b": d_head_b,
+            "band": dband, "red": dred, "mt_am": dmt_am,
+        }
+        d_ops = {k: v.astype(ops[k].dtype) for k, v in d_ops.items()}
+        d_init = (dcarry[0], dcarry[1], dcarry[2], dcarry[3],
+                  dcarry[4], dcarry[6], dcarry[5])
+        return (d_ops, d_memory.astype(memory.dtype),
+                jnp.zeros_like(mask_add), dshift.astype(shifted.dtype),
+                _zero_ct(teacher), _zero_ct(seeds), d_init)
+
+    core_vjp.defvjp(core_fwd, core_bwd)
+    return core_vjp
+
+
+# ---------------------------------------------------------------------------
+# public factory
+# ---------------------------------------------------------------------------
+
+
+def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
+                         fwd_chunk: int = 64, bwd_chunk: int = 32):
+    """Build the fused training decode:
+
+    ``decode(cell_params, memory [B,T,Mem], memory_transform [B,T,A],
+    mask [B,T] bool, shifted [B,F,M], teacher [F] bool, rng)``
+    -> ``(spec [B,F,M], stop [B,F], alignments [B,F,T])``.
+
+    Fully differentiable w.r.t. ``cell_params``, ``memory`` and
+    ``memory_transform`` — the custom-vjp core sees the padded/folded
+    operands, and this wrapper's operand construction (weight folding,
+    banded location-conv matrix, bias-into-transform fold) is plain
+    differentiable XLA, so parameter cotangents assemble automatically.
+    """
+    use_zoneout = hp.decoder_regularization == "zoneout"
+    zo_h = float(hp.zoneout_hidden) if use_zoneout else float(hp.dropout_hidden)
+    zo_c = float(hp.zoneout_cell) if use_zoneout else 0.0
+
+    def decode(cell_params, memory, memory_transform, mask, shifted,
+               teacher, rng):
+        b, t_len, mem_dim = memory.shape
+        att_dim = memory_transform.shape[-1]
+        frames = shifted.shape[1]
+        cfg = _Cfg(
+            t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
+            hidden=int(hp.decoder_dimension), mmel=int(hp.num_mels),
+            prenet_dim=int(hp.prenet_dimension),
+            dropout_rate=float(hp.dropout),
+            zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
+            dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
+        )
+        core = make_core(cfg, interpret=interpret)
+
+        # differentiable operand construction (f32; cast inside the core)
+        bundle = extract_decoder_bundle(
+            None, compute_dtype=jnp.float32, cell_params=cell_params)
+        band, _qe, red, mt_am = _attention_operands(
+            bundle, memory_transform, t_len, att_dim, jnp.float32)
+        ops = {k: bundle[k] for k in _WEIGHT_ORDER}
+        ops.update(band=band, red=red, mt_am=mt_am)
+
+        mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
+        f32 = jnp.float32
+        init_carry = (
+            jnp.zeros((b, cfg.hidden), f32), jnp.zeros((b, cfg.hidden), f32),
+            jnp.zeros((b, cfg.hidden), f32), jnp.zeros((b, cfg.hidden), f32),
+            jnp.zeros((b, mem_dim), f32), jnp.zeros((b, cfg.mmel), f32),
+            jnp.zeros((b, t_len), f32),
+        )
+        spec, stop, w_seq = core(
+            ops, memory.astype(jnp.float32), mask_add,
+            jnp.swapaxes(shifted, 0, 1).astype(jnp.float32),
+            teacher.astype(jnp.int32), seeds, init_carry,
+        )
+        return (jnp.swapaxes(spec, 0, 1), jnp.swapaxes(stop, 0, 1),
+                jnp.swapaxes(w_seq, 0, 1))
+
+    return decode

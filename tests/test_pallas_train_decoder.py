@@ -1,0 +1,370 @@
+"""Parity and gradient tests for the fused Pallas TRAINING decoder.
+
+ops/pallas_train_decoder.py replaces the XLA teacher-forced decoder scan
+(models/decoder.py) with chunked forward/backward kernels under a custom
+VJP.  Three layers of evidence, all in interpreter mode on CPU:
+
+1. With regularization disabled the fused path must match the XLA scan —
+   outputs AND gradients — at float32 epsilon for any teacher-forcing
+   ratio (the stochasticity reduces to the shared Bernoulli flags).
+2. With dropout/zoneout ACTIVE the masks come from the kernel's
+   counter-based PRNG, so the XLA scan is a different (equally valid)
+   stochastic realization; the gold check is a pure-JAX replica of the
+   step loop drawing the SAME masks via the same hash — forward equality
+   and VJP agreement against its autodiff.
+3. Determinism: same seeds, same results.
+
+Reference semantics: the hot loop /root/reference/modules/tacotron2.py:180-207,
+zoneout modules/layers.py:18-34, prenet tacotron2.py:15-46.
+"""
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
+from multilingual_text_to_speech_tpu.ops import pallas_train_decoder as ptd
+from tests.corpus_utils import tiny_model_hp
+
+
+def make_hp(regularization="zoneout", stochastic=False):
+    hp = tiny_model_hp(
+        multi_speaker=True, multi_language=True, speaker_number=4,
+        language_number=2, languages=["de", "fr"],
+        decoder_regularization=regularization)
+    hp.attention_type = "location_sensitive"
+    if stochastic:
+        hp.dropout = 0.5
+        hp.zoneout_hidden = 0.1
+        hp.zoneout_cell = 0.1
+        hp.dropout_hidden = 0.1
+    else:
+        hp.dropout = 0.0
+        hp.zoneout_hidden = 0.0
+        hp.zoneout_cell = 0.0
+        hp.dropout_hidden = 0.0
+    assert ptd.supports(hp)
+    return hp
+
+
+def build(hp, batch=4, text_len=24, frames=12, seed=0):
+    model = Tacotron(hp, train=True)
+    rng = np.random.RandomState(seed)
+    text = jnp.asarray(rng.randint(3, hp.total_symbols(), (batch, text_len)),
+                       jnp.int32)
+    lengths = jnp.asarray(
+        np.clip(rng.randint(text_len // 2, text_len + 1, batch), 2, text_len),
+        jnp.int32)
+    speakers = jnp.asarray(rng.randint(0, hp.speaker_number, batch), jnp.int32)
+    languages = jnp.asarray(np.arange(batch) % hp.language_number, jnp.int32)
+    target = jnp.asarray(rng.randn(batch, frames, hp.num_mels), jnp.float32)
+    tlen = jnp.full((batch,), frames, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, text, lengths, target, tlen, speakers,
+                           languages, 1.0, key)
+    args = (text, lengths, target, tlen, speakers, languages)
+    return model, variables, args
+
+
+def run_model(model, variables, args, ratio, seed=3):
+    (text, lengths, target, tlen, speakers, languages) = args
+    k = jax.random.PRNGKey(seed)
+    out, _ = model.apply(
+        variables, text, lengths, target, tlen, speakers, languages,
+        ratio, k, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.fold_in(k, 1)})
+    return out
+
+
+@pytest.mark.parametrize("ratio", [1.0, 0.5, 0.0])
+def test_forward_parity_vs_xla(monkeypatch, ratio):
+    hp = make_hp()
+    model, variables, args = build(hp)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    ox = run_model(model, variables, args, ratio)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    of = run_model(model, variables, args, ratio)
+    for k in ("pre_prediction", "post_prediction", "stop_token", "alignment"):
+        np.testing.assert_allclose(
+            np.asarray(ox[k]), np.asarray(of[k]), atol=5e-6,
+            err_msg=f"ratio={ratio} key={k}")
+
+
+@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
+def test_grad_parity_vs_xla(monkeypatch, regularization):
+    hp = make_hp(regularization)
+    model, variables, args = build(hp)
+    (text, lengths, target, tlen, speakers, languages) = args
+
+    def loss_fn(params, seed=3):
+        k = jax.random.PRNGKey(seed)
+        out, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            text, lengths, target, tlen, speakers, languages,
+            0.5, k, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(k, 1)})
+        return (jnp.mean((out["pre_prediction"] - target) ** 2)
+                + 0.1 * jnp.mean(out["stop_token"] ** 2)
+                + 0.05 * jnp.mean(out["alignment"] ** 2))
+
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    gx = jax.grad(loss_fn)(variables["params"])
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    gf = jax.grad(loss_fn)(variables["params"])
+    for (pa, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(gx),
+            jax.tree_util.tree_leaves_with_path(gf)):
+        a, b = np.asarray(va), np.asarray(vb)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 1e-3, (
+            jax.tree_util.keystr(pa), np.abs(a - b).max(), scale)
+
+
+# ---------------------------------------------------------------------------
+# stochastic gold check: pure-JAX replica drawing the kernel's exact masks
+# ---------------------------------------------------------------------------
+
+
+def replica_decode(hp, cell_params, memory, mt, mask, shifted, teacher,
+                   seeds):
+    """Straight-line JAX re-statement of the kernel's step math, using the
+    same counter-based PRNG (ptd._rand_bits) — differentiable by jax.grad."""
+    p = cell_params
+    b, t_len, mem_dim = memory.shape
+    frames = shifted.shape[1]
+    hidden = hp.decoder_dimension
+    use_zoneout = hp.decoder_regularization == "zoneout"
+    keep_pre = 1.0 - hp.dropout
+    pre_thresh = ptd._thresh(keep_pre)
+    pre_scale = 1.0 / keep_pre if keep_pre > 0 else 0.0
+    zh = hp.zoneout_hidden if use_zoneout else hp.dropout_hidden
+    zc = hp.zoneout_cell if use_zoneout else 0.0
+    zh_thresh = ptd._thresh(1.0 - zh)
+    zc_thresh = ptd._thresh(1.0 - zc)
+    dh_scale = 1.0 / (1.0 - zh) if zh < 1.0 else 0.0
+    seed0 = seeds[0].astype(jnp.uint32)
+    seed1 = seeds[1].astype(jnp.uint32)
+
+    wq = p["attention"]["query_kernel"]
+    loc_filter = p["attention"]["loc_filter"]
+    wl = p["attention"]["location_kernel"]
+    att_bias = p["attention"]["bias"]
+    v = p["attention"]["energy_kernel"]
+
+    def bits(shape, gs, salt):
+        return ptd._rand_bits(shape, seed0, seed1,
+                              jnp.asarray(gs * ptd._SALT_SITES + salt))
+
+    def lstm(gates, c):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = (jax.nn.sigmoid(f) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        return jax.nn.sigmoid(o) * jnp.tanh(c_new), c_new
+
+    def reg(h_prev, c_prev, h_new, c_new, gs, salt_h, salt_c):
+        if use_zoneout:
+            mh = bits((b, hidden), gs, salt_h) < zh_thresh
+            mc = bits((b, hidden), gs, salt_c) < zc_thresh
+            return (jnp.where(mh, h_new, h_prev),
+                    jnp.where(mc, c_new, c_prev))
+        mh = bits((b, hidden), gs, salt_h) < ptd._thresh(1.0 - zh)
+        return jnp.where(mh, h_new * dh_scale, 0.0), c_new
+
+    h_att = jnp.zeros((b, hidden))
+    c_att = jnp.zeros((b, hidden))
+    h_gen = jnp.zeros((b, hidden))
+    c_gen = jnp.zeros((b, hidden))
+    ctx = jnp.zeros((b, mem_dim))
+    frame = jnp.zeros((b, hp.num_mels))
+    cum = jnp.zeros((b, t_len))
+    mask_add = jnp.where(mask, 0.0, -1e9)
+
+    specs, stops, ws = [], [], []
+    for s in range(frames):
+        raw = jnp.where(teacher[s], shifted[:, s], frame)
+        a1 = raw @ p["prenet"]["fc0"]["kernel"] + p["prenet"]["fc0"]["bias"]
+        r1 = jax.nn.relu(a1)
+        if hp.dropout > 0:
+            d1 = jnp.where(bits(r1.shape, s, ptd._SALT_PRE0) < pre_thresh,
+                           r1 * pre_scale, 0.0)
+        else:
+            d1 = r1
+        a2 = d1 @ p["prenet"]["fc1"]["kernel"] + p["prenet"]["fc1"]["bias"]
+        r2 = jax.nn.relu(a2)
+        if hp.dropout > 0:
+            x = jnp.where(bits(r2.shape, s, ptd._SALT_PRE1) < pre_thresh,
+                          r2 * pre_scale, 0.0)
+        else:
+            x = r2
+
+        cat = jnp.concatenate([x, ctx, h_att], axis=-1)
+        gates = (cat @ p["attention_lstm"]["cell"]["gates"]["kernel"]
+                 + p["attention_lstm"]["cell"]["gates"]["bias"])
+        h_new, c_new = lstm(gates, c_att)
+        h_att, c_att = reg(h_att, c_att, h_new, c_new, s,
+                           ptd._SALT_ATT_H, ptd._SALT_ATT_C)
+
+        q = (h_att @ wq)[:, None, :]
+        loc = jax.lax.conv_general_dilated(
+            cum[..., None], loc_filter, (1,),
+            [((hp.attention_kernel_size - 1) // 2,) * 2],
+            dimension_numbers=("NWC", "WIO", "NWC")) @ wl
+        energy = jnp.tanh(q + mt + loc + att_bias) @ v
+        e = energy[..., 0] + mask_add
+        w = jax.nn.softmax(e, axis=-1)
+        ctx = jnp.einsum("bt,btm->bm", w, memory)
+        cum = cum + w
+
+        cat = jnp.concatenate([h_att, ctx, h_gen], axis=-1)
+        gates = (cat @ p["generator_lstm"]["cell"]["gates"]["kernel"]
+                 + p["generator_lstm"]["cell"]["gates"]["bias"])
+        h_new, c_new = lstm(gates, c_gen)
+        h_gen, c_gen = reg(h_gen, c_gen, h_new, c_new, s,
+                           ptd._SALT_GEN_H, ptd._SALT_GEN_C)
+
+        proto = jnp.concatenate([h_gen, ctx], axis=-1)
+        frame = (proto @ p["frame_prediction"]["kernel"]
+                 + p["frame_prediction"]["bias"])
+        stop = (proto @ p["stop_prediction"]["kernel"]
+                + p["stop_prediction"]["bias"])[:, 0]
+        specs.append(frame)
+        stops.append(stop)
+        ws.append(w)
+    return (jnp.stack(specs, 1), jnp.stack(stops, 1), jnp.stack(ws, 1))
+
+
+@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
+def test_stochastic_parity_vs_replica(regularization):
+    """Active dropout/zoneout: the fused kernel and the pure-JAX replica
+    draw identical masks, so outputs AND gradients must agree."""
+    hp = make_hp(regularization, stochastic=True)
+    model, variables, args = build(hp)
+    (text, lengths, target, tlen, speakers, languages) = args
+    b, t_len, frames = text.shape[0], text.shape[1], target.shape[1]
+
+    # decoder-level inputs identical for both paths
+    (memory, mt, mask, _), _ = model.apply(
+        variables, text, lengths, speakers, languages,
+        method=Tacotron.encode_for_inference, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(42)})
+    memory = memory.astype(jnp.float32)
+    mt = mt.astype(jnp.float32)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(target[:, :1]), target[:, :-1]], axis=1)
+    teacher = jnp.asarray([1, 0] * (frames // 2), bool)
+    seeds = jnp.asarray([12345, 67890], jnp.int32)
+    cell_params = variables["params"]["decoder"]["cell"]
+
+    decode = ptd.make_train_decode_fn(hp, dtype=jnp.float32, interpret=True,
+                                      fwd_chunk=4, bwd_chunk=3)
+
+    def fused_outs(cp, mem_, mt_):
+        rng = jax.random.PRNGKey(0)  # seeds overridden below via closure
+        # call the core directly so the replica can share explicit seeds
+        return decode_with_seeds(cp, mem_, mt_)
+
+    def decode_with_seeds(cp, mem_, mt_):
+        # mirror make_train_decode_fn.decode but with fixed seeds
+        cfg = ptd._Cfg(
+            t_len=t_len, mem_dim=mem_.shape[-1], att_dim=mt_.shape[-1],
+            hidden=hp.decoder_dimension, mmel=hp.num_mels,
+            prenet_dim=hp.prenet_dimension, dropout_rate=hp.dropout,
+            zoneout_h=(hp.zoneout_hidden if regularization == "zoneout"
+                       else hp.dropout_hidden),
+            zoneout_c=(hp.zoneout_cell if regularization == "zoneout"
+                       else 0.0),
+            use_zoneout=regularization == "zoneout",
+            dtype=jnp.float32, fwd_chunk=4, bwd_chunk=3)
+        core = ptd.make_core(cfg, interpret=True)
+        bundle = ptd.extract_decoder_bundle(
+            None, compute_dtype=jnp.float32, cell_params=cp)
+        band, _qe, red, mt_am = ptd._attention_operands(
+            bundle, mt_, t_len, mt_.shape[-1], jnp.float32)
+        ops = {k: bundle[k] for k in ptd._WEIGHT_ORDER}
+        ops.update(band=band, red=red, mt_am=mt_am)
+        mask_add = jnp.where(mask, 0.0, ptd._NEG_INF).astype(jnp.float32)
+        f32 = jnp.float32
+        init = (jnp.zeros((b, cfg.hidden), f32),) * 4 + (
+            jnp.zeros((b, mem_.shape[-1]), f32),
+            jnp.zeros((b, cfg.mmel), f32),
+            jnp.zeros((b, t_len), f32))
+        spec, stop, w_seq = core(
+            ops, mem_, mask_add, jnp.swapaxes(shifted, 0, 1),
+            teacher.astype(jnp.int32), seeds, init)
+        return (jnp.swapaxes(spec, 0, 1), jnp.swapaxes(stop, 0, 1),
+                jnp.swapaxes(w_seq, 0, 1))
+
+    fused = decode_with_seeds(cell_params, memory, mt)
+    ref = replica_decode(hp, cell_params, memory, mt, mask, shifted,
+                         teacher, seeds)
+    for name, a, r in zip(("spec", "stop", "w"), fused, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5,
+                                   err_msg=name)
+
+    # gradients: fused custom VJP vs autodiff of the replica
+    def loss_fused(cp, mem_, mt_):
+        s, st, w = decode_with_seeds(cp, mem_, mt_)
+        return (jnp.mean(s ** 2) + 0.1 * jnp.mean(st ** 2)
+                + 0.05 * jnp.mean(w ** 2))
+
+    def loss_ref(cp, mem_, mt_):
+        s, st, w = replica_decode(hp, cp, mem_, mt_, mask, shifted,
+                                  teacher, seeds)
+        return (jnp.mean(s ** 2) + 0.1 * jnp.mean(st ** 2)
+                + 0.05 * jnp.mean(w ** 2))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(cell_params, memory, mt)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(cell_params, memory, mt)
+    for (pa, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(gf),
+            jax.tree_util.tree_leaves_with_path(gr)):
+        a_, b_ = np.asarray(va), np.asarray(vb)
+        scale = np.abs(b_).max() + 1e-6
+        assert np.abs(a_ - b_).max() / scale < 2e-3, (
+            jax.tree_util.keystr(pa), np.abs(a_ - b_).max(), scale)
+
+
+def test_determinism(monkeypatch):
+    hp = make_hp(stochastic=True)
+    model, variables, args = build(hp)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    o1 = run_model(model, variables, args, 0.5, seed=9)
+    o2 = run_model(model, variables, args, 0.5, seed=9)
+    np.testing.assert_array_equal(np.asarray(o1["pre_prediction"]),
+                                  np.asarray(o2["pre_prediction"]))
+
+
+def test_training_loss_decreases(monkeypatch):
+    """Three optimizer steps through the fused custom VJP reduce the loss."""
+    import optax
+
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    hp = make_hp(stochastic=True)
+    model, variables, args = build(hp)
+    (text, lengths, target, tlen, speakers, languages) = args
+    tx = optax.adam(2e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    def loss_fn(params, seed):
+        k = jax.random.PRNGKey(seed)
+        out, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            text, lengths, target, tlen, speakers, languages,
+            1.0, k, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(k, 1)})
+        return jnp.mean((out["pre_prediction"] - target) ** 2)
+
+    losses = []
+    for i in range(4):
+        loss, grads = jax.value_and_grad(loss_fn)(params, 0)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
