@@ -166,6 +166,9 @@ class Decoder(nn.Module):
     hp_model: Any
     train: bool = False
     dtype: jnp.dtype = jnp.float32
+    # device mesh for data-parallel training through the fused Pallas
+    # decode (shard_map over the 'data' axis); None = single-device
+    mesh: Any = None
 
     def setup(self):
         hp = self.hp_model
@@ -271,8 +274,29 @@ class Decoder(nn.Module):
                 self.hp_model, dtype=self.dtype,
                 interpret=self._fused_train_interpret(),
             )
+            cell_params = self.variables["params"]["cell"]
+            if self.mesh is not None and self.mesh.shape["data"] > 1:
+                # data-parallel: each shard runs the kernel on its local
+                # batch; shard_map's transpose psums the replicated-in
+                # parameter cotangents (the DP gradient all-reduce)
+                from jax.sharding import PartitionSpec as P
+
+                def sharded(cp, mem, mt_, msk, shf, tch, key):
+                    key = jax.random.fold_in(
+                        key, jax.lax.axis_index("data"))
+                    return decode(cp, mem, mt_, msk, shf, tch, key)
+
+                fn = jax.shard_map(
+                    sharded, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"),
+                              P("data"), P(), P()),
+                    out_specs=(P("data"), P("data"), P("data")),
+                    check_vma=False,
+                )
+                return fn(cell_params, memory, memory_transform, mask,
+                          shifted, teacher, rng_steps)
             spec, stops, aligns = decode(
-                self.variables["params"]["cell"], memory, memory_transform,
+                cell_params, memory, memory_transform,
                 mask, shifted, teacher, rng_steps,
             )
             return spec, stops, aligns
@@ -311,15 +335,25 @@ class Decoder(nn.Module):
 
         force = os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "")
         hp = self.hp_model
+        n_dev = len(jax.devices())
+        # single chip, or an explicit pure-DP mesh covering all devices —
+        # then shard_map runs the kernel per shard (the XLA SPMD
+        # partitioner cannot shard the custom call by itself)
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            dp = self.mesh.shape["data"]
+            mesh_ok = (self.mesh.size == n_dev
+                       and self.mesh.shape.get("model", 1) == 1
+                       and batch % dp == 0)
+            shard_batch_size = batch // dp
+        else:
+            mesh_ok = n_dev == 1
+            shard_batch_size = batch
         return (
             bool(getattr(hp, "use_pallas_train_decoder", False))
             and pallas_train_decoder.supports(hp)
-            and pallas_train_decoder.supports_shapes(batch, t_len)
+            and pallas_train_decoder.supports_shapes(shard_batch_size, t_len)
             and force != "off"
-            # single-chip only: the XLA SPMD partitioner cannot shard the
-            # custom call over a data-parallel mesh (shard_map integration
-            # is the multi-chip path; the XLA scan handles DP meanwhile)
-            and (len(jax.devices()) == 1 or force == "interpret")
+            and (mesh_ok or force == "interpret")
             and (jax.devices()[0].platform == "tpu" or force == "interpret")
         )
 

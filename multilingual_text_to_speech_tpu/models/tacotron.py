@@ -69,6 +69,9 @@ class Tacotron(nn.Module):
     hp: Any
     train: bool = False
     dtype: jnp.dtype = jnp.float32
+    # device mesh for the fused Pallas training decode's data-parallel
+    # shard_map path (models/decoder.py); None = single-device
+    mesh: Any = None
 
     def setup(self):
         hp = self.hp
@@ -92,7 +95,8 @@ class Tacotron(nn.Module):
                     gradient_clipping_bounds=hp.reversal_gradient_clipping,
                     dtype=self.dtype,
                 )
-        self.decoder = Decoder(hp, train=self.train, dtype=self.dtype)
+        self.decoder = Decoder(hp, train=self.train, dtype=self.dtype,
+                               mesh=self.mesh)
         if hp.predict_linear:
             self.postnet = PostnetCBHG(
                 output_dim=hp.num_fft // 2 + 1,

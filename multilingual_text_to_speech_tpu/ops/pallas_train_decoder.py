@@ -220,6 +220,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
 
         def cell_update(h_prev, c_prev, h_new, c_new, gs, salt_h, salt_c):
             if cfg.use_zoneout:
+                if cfg.zoneout_h == 0.0 and cfg.zoneout_c == 0.0:
+                    return h_new, c_new  # static: no masks to draw
                 bits_h = _rand_bits(h_new.shape, seed0, seed1,
                                     gs * _SALT_SITES + salt_h)
                 bits_c = _rand_bits(c_new.shape, seed0, seed1,
@@ -227,6 +229,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 h_out = jnp.where(bits_h < zh_thresh, h_new, h_prev)
                 c_out = jnp.where(bits_c < zc_thresh, c_new, c_prev)
             else:
+                if cfg.zoneout_h == 0.0:
+                    return h_new, c_new
                 bits_h = _rand_bits(h_new.shape, seed0, seed1,
                                     gs * _SALT_SITES + salt_h)
                 h_out = jnp.where(bits_h < dh_thresh, h_new * dh_scale, 0.0)
@@ -407,15 +411,26 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             c_new = f * c_prev + i * g
             tanh_c = jnp.tanh(c_new)
             if cfg.use_zoneout:
-                zh = masks((dh_tot.shape[0], hidden), gs, salt_h) < zh_thresh
-                zc = masks((dc_tot.shape[0], hidden), gs, salt_c) < zc_thresh
-                dh_new = jnp.where(zh, dh_tot, 0.0)
-                dh_prev_reg = jnp.where(zh, 0.0, dh_tot)
-                dc_from_state = jnp.where(zc, dc_tot, 0.0)
-                dc_prev_reg = jnp.where(zc, 0.0, dc_tot)
+                if cfg.zoneout_h == 0.0 and cfg.zoneout_c == 0.0:
+                    dh_new, dh_prev_reg = dh_tot, jnp.zeros_like(dh_tot)
+                    dc_from_state = dc_tot
+                    dc_prev_reg = jnp.zeros_like(dc_tot)
+                else:
+                    zh = (masks((dh_tot.shape[0], hidden), gs, salt_h)
+                          < zh_thresh)
+                    zc = (masks((dc_tot.shape[0], hidden), gs, salt_c)
+                          < zc_thresh)
+                    dh_new = jnp.where(zh, dh_tot, 0.0)
+                    dh_prev_reg = jnp.where(zh, 0.0, dh_tot)
+                    dc_from_state = jnp.where(zc, dc_tot, 0.0)
+                    dc_prev_reg = jnp.where(zc, 0.0, dc_tot)
             else:
-                keep = masks((dh_tot.shape[0], hidden), gs, salt_h) < dh_thresh
-                dh_new = jnp.where(keep, dh_tot * dh_scale, 0.0)
+                if cfg.zoneout_h == 0.0:
+                    dh_new = dh_tot
+                else:
+                    keep = (masks((dh_tot.shape[0], hidden), gs, salt_h)
+                            < dh_thresh)
+                    dh_new = jnp.where(keep, dh_tot * dh_scale, 0.0)
                 dh_prev_reg = jnp.zeros_like(dh_tot)
                 dc_from_state = dc_tot
                 dc_prev_reg = jnp.zeros_like(dc_tot)
@@ -719,8 +734,11 @@ def make_core(cfg: _Cfg, interpret: bool = False):
     7-tuple (h_att, c_att, h_gen, c_gen, ctx, frame, cum), all f32.
     """
     d = cfg.dtype
-    qe = jnp.repeat(jnp.eye(cfg.att_dim, dtype=jnp.float32),
-                    cfg.t_len, axis=1).astype(d)
+    # numpy, not jnp: this constant is closed over by the custom-vjp fwd AND
+    # bwd, which trace in different contexts under shard_map — a traced
+    # constant from the fwd trace would leak into the bwd trace
+    qe_np = np.repeat(np.eye(cfg.att_dim, dtype=np.float32),
+                      cfg.t_len, axis=1)
 
     def _run_forward(ops, memory, mask_add, shifted, teacher, seeds,
                      init_carry):
@@ -728,6 +746,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         b = memory.shape[0]
         s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.fwd_chunk, False))
         call = _fwd_call(cfg, s_chunk, b, interpret)
+        qe = jnp.asarray(qe_np, d)
         w_ops = []
         for k in _WEIGHT_ORDER:
             v = ops[k]
@@ -784,6 +803,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         b = memory.shape[0]
         s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.bwd_chunk, True))
         call = _bwd_call(cfg, s_chunk, b, interpret)
+        qe = jnp.asarray(qe_np, d)
 
         w_ops = {k: (ops[k].astype(jnp.float32)
                      if k in ("att_b", "gen_b") else ops[k].astype(d))

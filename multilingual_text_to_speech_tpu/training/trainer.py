@@ -130,7 +130,8 @@ class Trainer:
             jnp.bfloat16 if getattr(hp, "compute_dtype", "float32") == "bfloat16"
             else jnp.float32
         )
-        self.model_train = Tacotron(hp, train=True, dtype=compute_dtype)
+        self.model_train = Tacotron(hp, train=True, dtype=compute_dtype,
+                                    mesh=self.mesh)
         self.model_eval = Tacotron(hp, train=False, dtype=compute_dtype)
         self.loss_state = TacotronLossState.init(hp)
         self.tx = make_optimizer(hp)

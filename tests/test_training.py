@@ -194,6 +194,48 @@ def test_trainer_data_parallel_8dev(tmp_path_factory):
     )
 
 
+def test_trainer_data_parallel_fused_decoder(tmp_path_factory, monkeypatch):
+    """Data-parallel training through the fused Pallas train decoder: a pure
+    4-data-shard mesh routes the decode through shard_map (one kernel per
+    shard, parameter grads psum'd by the shard_map transpose).  Forced
+    through the interpreter on the CPU test mesh."""
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    root = str(tmp_path_factory.mktemp("corpus_dpf"))
+    hp = tiny_model_hp(
+        languages=["german", "french"],
+        multi_language=True,
+        encoder_type="generated",
+        balanced_sampling=True,
+        perfect_sampling=True,
+        batch_size=8,
+        case_sensitive=False,
+        mesh_data_parallel=4,
+        mesh_model_parallel=1,
+        decoder_regularization="zoneout",
+    )
+    build_corpus_with_metafiles(root, hp, n_per_lang=8, val_every=8)
+    data = TextToSpeechDatasetCollection(root, hp)
+    mesh = make_mesh(hp, devices=jax.devices()[:4])
+    assert mesh.shape == {"data": 4, "model": 1}
+
+    # count factory invocations to prove the fused path actually engaged
+    from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
+    calls = []
+    real_factory = pallas_train_decoder.make_train_decode_fn
+    monkeypatch.setattr(
+        pallas_train_decoder, "make_train_decode_fn",
+        lambda *a, **kw: calls.append(1) or real_factory(*a, **kw))
+
+    trainer = Trainer(hp, data, mesh=mesh, seed=0)
+    steps = trainer.train_epoch()
+    assert calls, "fused train decoder did not engage"
+    assert steps >= 1
+    assert np.isfinite(
+        float(sum(jnp.sum(jnp.abs(x))
+                  for x in jax.tree_util.tree_leaves(trainer.state.params)))
+    )
+
+
 def test_find_latest_checkpoint(tmp_path):
     import time as _time
 
