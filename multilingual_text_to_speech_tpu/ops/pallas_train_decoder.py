@@ -46,8 +46,7 @@ and finite differences is asserted in tests/test_pallas_train_decoder.py.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -56,16 +55,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
-    _LANES,
     _MAX_MEMORY_LEN,
     _NEG_INF,
     _attention_operands,
-    _pad_rows,
     _r128,
     extract_decoder_bundle,
 )
-
-Carry = Dict[str, Any]
 
 
 def supports(hp) -> bool:
