@@ -48,8 +48,14 @@ class TextToSpeechDataset:
                     # for ComVoi (data/comvoi_clean/all.txt):
                     # id|speaker|language|audio|text — no spectrograms or
                     # phonemes yet (the reference's own Dataset cannot read
-                    # it; accepting it here is a deliberate superset)
-                    tokens = tokens[:4] + ["", "", tokens[4], ""]
+                    # it; accepting it here is a deliberate superset).
+                    # Bare labels like '01' repeat across the per-language
+                    # folders for DIFFERENT people — suffix the language so
+                    # identities stay distinct, matching the convention of
+                    # the trainable metafiles ('00-nl' in css_comvoi)
+                    speaker = f"{tokens[1]}-{tokens[2]}"
+                    tokens = ([tokens[0], speaker, tokens[2], tokens[3]]
+                              + ["", "", tokens[4], ""])
                 if len(tokens) < 8:
                     continue
                 item = {

@@ -275,7 +275,7 @@ class Decoder(nn.Module):
                 interpret=self._fused_train_interpret(),
             )
             cell_params = self.variables["params"]["cell"]
-            if self.mesh is not None and self.mesh.shape["data"] > 1:
+            if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
                 # data-parallel: each shard runs the kernel on its local
                 # batch; shard_map's transpose psums the replicated-in
                 # parameter cotangents (the DP gradient all-reduce)
@@ -336,24 +336,29 @@ class Decoder(nn.Module):
         force = os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "")
         hp = self.hp_model
         n_dev = len(jax.devices())
-        # single chip, or an explicit pure-DP mesh covering all devices —
-        # then shard_map runs the kernel per shard (the XLA SPMD
-        # partitioner cannot shard the custom call by itself)
-        if self.mesh is not None and "data" in self.mesh.axis_names:
-            dp = self.mesh.shape["data"]
-            mesh_ok = (self.mesh.size == n_dev
-                       and self.mesh.shape.get("model", 1) == 1
-                       and batch % dp == 0)
-            shard_batch_size = batch // dp
+        # single chip, or an explicit pure-DP mesh — then shard_map runs
+        # the kernel per shard (the XLA SPMD partitioner cannot shard the
+        # custom call by itself). "interpret" (a debug/test override) only
+        # relaxes the hardware checks, never the mesh-suitability ones:
+        # a non-divisible batch or a tensor-parallel axis must always fall
+        # back to the XLA scan.
+        if self.mesh is not None:
+            dp = self.mesh.shape.get("data", 1)
+            mesh_ok = (
+                dp == self.mesh.size  # every non-data axis is trivial
+                and batch % dp == 0
+            )
+            shard_batch_size = batch // max(dp, 1)
         else:
-            mesh_ok = n_dev == 1
+            # plain apply (no sharded inputs): runs on the default device
+            mesh_ok = n_dev == 1 or force == "interpret"
             shard_batch_size = batch
         return (
             bool(getattr(hp, "use_pallas_train_decoder", False))
             and pallas_train_decoder.supports(hp)
             and pallas_train_decoder.supports_shapes(shard_batch_size, t_len)
             and force != "off"
-            and (mesh_ok or force == "interpret")
+            and mesh_ok
             and (jax.devices()[0].platform == "tpu" or force == "interpret")
         )
 

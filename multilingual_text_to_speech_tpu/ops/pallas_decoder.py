@@ -105,6 +105,21 @@ def supports_shapes(memory_len: int) -> bool:
     return memory_len <= _MAX_MEMORY_LEN
 
 
+def _rand_bits(shape, seed0, seed1, salt):
+    """Counter-based uint32 hash (lowbias32) keyed by (seed, salt) — the
+    shared PRNG of the serving and training kernels; compiled TPU and
+    interpreter runs draw identical masks, and the training backward pass
+    regenerates its forward masks bit-exactly from the same inputs."""
+    x = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+         * jnp.uint32(shape[-1])
+         + jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1))
+    x = x + seed0 + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+    x = x ^ (seed1 * jnp.uint32(0x85EBCA6B))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 def _r128(n: int) -> int:
     return -(-n // _LANES) * _LANES
 

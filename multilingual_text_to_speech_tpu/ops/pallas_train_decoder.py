@@ -59,6 +59,7 @@ from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
     _NEG_INF,
     _attention_operands,
     _r128,
+    _rand_bits,
     extract_decoder_bundle,
 )
 
@@ -80,18 +81,6 @@ def supports_shapes(batch: int, memory_len: int) -> bool:
 # ---------------------------------------------------------------------------
 # shared PRNG helpers (compiled and interpreter modes draw identical masks)
 # ---------------------------------------------------------------------------
-
-
-def _rand_bits(shape, seed0, seed1, salt):
-    """Counter-based uint32 hash (lowbias32); salt encodes (step, site)."""
-    x = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-         * jnp.uint32(shape[-1])
-         + jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1))
-    x = x + seed0 + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-    x = x ^ (seed1 * jnp.uint32(0x85EBCA6B))
-    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
-    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
-    return x ^ (x >> 16)
 
 
 def _thresh(keep_rate: float) -> np.uint32:
@@ -785,16 +774,17 @@ def make_core(cfg: _Cfg, interpret: bool = False):
     def core_fwd(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
         outs, residuals = _run_forward(ops, memory, mask_add, shifted,
                                        teacher, seeds, init_carry)
-        return outs, (ops, memory, mask_add, shifted, teacher, seeds,
-                      init_carry, residuals)
+        # shifted/mask_add are NOT saved: the backward pass re-reads the
+        # per-step inputs from the r_raw residual stream and only needs
+        # their shapes, which cfg/r_raw already carry
+        return outs, (ops, memory, teacher, seeds, init_carry, residuals)
 
     def core_bwd(res, cts):
-        (ops, memory, mask_add, shifted, teacher, seeds, init_carry,
-         residuals) = res
+        (ops, memory, teacher, seeds, init_carry, residuals) = res
         dspec, dstop, dw_out = cts
         (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
          r_x, r_d1, r_raw, w_seq) = residuals
-        f = shifted.shape[0]
+        f = teacher.shape[0]
         b = memory.shape[0]
         s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.bwd_chunk, True))
         call = _bwd_call(cfg, s_chunk, b, interpret)
@@ -816,10 +806,6 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                   jnp.zeros((b, cfg.mem_dim), jnp.float32),
                   jnp.zeros((b, cfg.t_len), jnp.float32),
                   jnp.zeros((b, cfg.mmel), jnp.float32))
-        # kernel carry order: dh_att, dc_att, dh_gen, dc_gen, dctx, dcum, dframe
-        dcarry = (dcarry[0], dcarry[1], dcarry[2], dcarry[3],
-                  dcarry[4], dcarry[5], dcarry[6])
-
         accs = None
         per_chunk = [None] * (f // s_chunk)
         for k in range(f // s_chunk - 1, -1, -1):
@@ -911,10 +897,13 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             "band": dband, "red": dred, "mt_am": dmt_am,
         }
         d_ops = {k: v.astype(ops[k].dtype) for k, v in d_ops.items()}
+        # dcarry is in KERNEL order (..., dctx, dcum, dframe) while
+        # init_carry is (..., ctx, frame, cum) — swap the last two
         d_init = (dcarry[0], dcarry[1], dcarry[2], dcarry[3],
                   dcarry[4], dcarry[6], dcarry[5])
         return (d_ops, d_memory.astype(memory.dtype),
-                jnp.zeros_like(mask_add), dshift.astype(shifted.dtype),
+                jnp.zeros((b, cfg.t_len), jnp.float32),
+                dshift.astype(jnp.float32),
                 _zero_ct(teacher), _zero_ct(seeds), d_init)
 
     core_vjp.defvjp(core_fwd, core_bwd)

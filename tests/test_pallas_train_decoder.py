@@ -260,14 +260,6 @@ def test_stochastic_parity_vs_replica(regularization):
     seeds = jnp.asarray([12345, 67890], jnp.int32)
     cell_params = variables["params"]["decoder"]["cell"]
 
-    decode = ptd.make_train_decode_fn(hp, dtype=jnp.float32, interpret=True,
-                                      fwd_chunk=4, bwd_chunk=3)
-
-    def fused_outs(cp, mem_, mt_):
-        rng = jax.random.PRNGKey(0)  # seeds overridden below via closure
-        # call the core directly so the replica can share explicit seeds
-        return decode_with_seeds(cp, mem_, mt_)
-
     def decode_with_seeds(cp, mem_, mt_):
         # mirror make_train_decode_fn.decode but with fixed seeds
         cfg = ptd._Cfg(

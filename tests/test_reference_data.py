@@ -81,15 +81,18 @@ def test_comvoi_clean_all_metafile_parses_verbatim():
 
     for item, tokens in zip(ds.items, lines):
         assert item["id"] == tokens[0]
-        # comvoi: bare per-language speaker labels ('01'); the raw column is
-        # the speaker key, so labels shared across languages share an index
-        # (reference dataset/dataset.py:79-96 semantics)
-        assert ds.unique_speakers[item["speaker"]] == tokens[1]
+        # comvoi: bare labels ('01') repeat across languages for DIFFERENT
+        # people — the parser keys them as 'label-lang' so identities stay
+        # distinct (the css_comvoi trainable metafile's '00-nl' convention)
+        assert (ds.unique_speakers[item["speaker"]]
+                == f"{tokens[1]}-{tokens[2]}")
         assert hp.languages[item["language"]] == tokens[2]
         assert item["audio"] == tokens[3]
 
     assert ds.get_num_languages() == 5
-    assert ds.get_num_speakers() == len({t[1] for t in lines}) == 45
+    # 84 distinct (speaker, language) identities, not 45 raw labels
+    assert ds.get_num_speakers() == len(
+        {(t[1], t[2]) for t in lines}) == 84
 
     unk = 0
     total = 0
