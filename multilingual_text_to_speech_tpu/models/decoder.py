@@ -273,6 +273,7 @@ class Decoder(nn.Module):
             decode = pallas_train_decoder.make_train_decode_fn(
                 self.hp_model, dtype=self.dtype,
                 interpret=self._fused_train_interpret(),
+                train=self.train,
             )
             cell_params = self.variables["params"]["cell"]
             if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
@@ -329,7 +330,10 @@ class Decoder(nn.Module):
         "interpret" to force the interpreter on non-TPU backends)."""
         import os
 
-        if not self.train or self.is_initializing():
+        # applies to BOTH modes of the teacher-forced forward: training
+        # (custom-VJP kernels) and eval/GTA (forward-only, deterministic
+        # zoneout interpolation). Inference decode_chunk has its own kernel.
+        if self.is_initializing():
             return False
         from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
 

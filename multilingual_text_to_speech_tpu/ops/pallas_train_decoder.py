@@ -99,7 +99,7 @@ class _Cfg:
 
     def __init__(self, *, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                  dropout_rate, zoneout_h, zoneout_c, use_zoneout, dtype,
-                 fwd_chunk, bwd_chunk):
+                 fwd_chunk, bwd_chunk, train=True):
         self.t_len = t_len
         self.mem_dim = mem_dim
         self.att_dim = att_dim
@@ -110,6 +110,11 @@ class _Cfg:
         self.zoneout_h = float(zoneout_h)
         self.zoneout_c = float(zoneout_c)
         self.use_zoneout = bool(use_zoneout)
+        # eval mode: zoneout becomes its deterministic interpolation and
+        # LSTM-output dropout turns off (prenet dropout stays ON — the
+        # reference quirk, tacotron2.py:40); no residuals are consumed
+        # because eval never differentiates
+        self.train = bool(train)
         self.dtype = dtype
         self.fwd_chunk = fwd_chunk
         self.bwd_chunk = bwd_chunk
@@ -203,6 +208,15 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
         mask_add = mask_ref[:]
 
         def cell_update(h_prev, c_prev, h_new, c_new, gs, salt_h, salt_c):
+            if not cfg.train:
+                if cfg.use_zoneout:
+                    # eval-mode zoneout: deterministic interpolation
+                    # (models/rnn.py:79-81)
+                    return (cfg.zoneout_h * h_prev
+                            + (1.0 - cfg.zoneout_h) * h_new,
+                            cfg.zoneout_c * c_prev
+                            + (1.0 - cfg.zoneout_c) * c_new)
+                return h_new, c_new  # eval-mode dropout cell: no-op
             if cfg.use_zoneout:
                 if cfg.zoneout_h == 0.0 and cfg.zoneout_c == 0.0:
                     return h_new, c_new  # static: no masks to draw
@@ -907,6 +921,8 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 _zero_ct(teacher), _zero_ct(seeds), d_init)
 
     core_vjp.defvjp(core_fwd, core_bwd)
+    # forward-only entry for eval-mode decodes (no VJP, residuals ignored)
+    core_vjp.run_forward = lambda *a: _run_forward(*a)[0]
     return core_vjp
 
 
@@ -916,7 +932,8 @@ def make_core(cfg: _Cfg, interpret: bool = False):
 
 
 def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
-                         fwd_chunk: int = 64, bwd_chunk: int = 32):
+                         fwd_chunk: int = 64, bwd_chunk: int = 32,
+                         train: bool = True):
     """Build the fused training decode:
 
     ``decode(cell_params, memory [B,T,Mem], memory_transform [B,T,A],
@@ -928,6 +945,11 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
     operands, and this wrapper's operand construction (weight folding,
     banded location-conv matrix, bias-into-transform fold) is plain
     differentiable XLA, so parameter cotangents assemble automatically.
+
+    ``train=False`` builds the eval/GTA variant: deterministic zoneout
+    interpolation, LSTM-output dropout off (prenet dropout stays on), and
+    a forward-only entry with NO custom VJP — do not differentiate
+    through it; eval never needs to.
     """
     use_zoneout = hp.decoder_regularization == "zoneout"
     zo_h = float(hp.zoneout_hidden) if use_zoneout else float(hp.dropout_hidden)
@@ -945,6 +967,7 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
             dropout_rate=float(hp.dropout),
             zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
             dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
+            train=train,
         )
         core = make_core(cfg, interpret=interpret)
 
@@ -966,7 +989,8 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
             jnp.zeros((b, mem_dim), f32), jnp.zeros((b, cfg.mmel), f32),
             jnp.zeros((b, t_len), f32),
         )
-        spec, stop, w_seq = core(
+        entry = core if train else core.run_forward
+        spec, stop, w_seq = entry(
             ops, memory.astype(jnp.float32), mask_add,
             jnp.swapaxes(shifted, 0, 1).astype(jnp.float32),
             teacher.astype(jnp.int32), seeds, init_carry,

@@ -132,7 +132,8 @@ class Trainer:
         )
         self.model_train = Tacotron(hp, train=True, dtype=compute_dtype,
                                     mesh=self.mesh)
-        self.model_eval = Tacotron(hp, train=False, dtype=compute_dtype)
+        self.model_eval = Tacotron(hp, train=False, dtype=compute_dtype,
+                                   mesh=self.mesh)
         self.loss_state = TacotronLossState.init(hp)
         self.tx = make_optimizer(hp)
         self.epoch = 0

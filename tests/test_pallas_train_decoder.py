@@ -360,3 +360,33 @@ def test_training_loss_decreases(monkeypatch):
         params = optax.apply_updates(params, updates)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
+def test_eval_mode_parity_vs_xla(monkeypatch, regularization):
+    """Eval/GTA teacher-forced forward: deterministic zoneout interpolation
+    (models/rnn.py:79-81) makes the eval path exactly comparable with
+    NONZERO zoneout rates — only prenet dropout must be disabled."""
+    hp = make_hp(regularization)
+    hp.zoneout_hidden = 0.1
+    hp.zoneout_cell = 0.1
+    hp.dropout = 0.0        # the one remaining stochastic op at eval
+    hp.dropout_hidden = 0.3  # eval: off either way
+    model_t, variables, args = build(hp)
+    model = Tacotron(hp, train=False)
+
+    def run(ratio):
+        (text, lengths, target, tlen, speakers, languages) = args
+        k = jax.random.PRNGKey(5)
+        out = model.apply(
+            variables, text, lengths, target, tlen, speakers, languages,
+            ratio, k)
+        return out
+
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    ox = run(1.0)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    of = run(1.0)
+    for k in ("pre_prediction", "post_prediction", "stop_token", "alignment"):
+        np.testing.assert_allclose(
+            np.asarray(ox[k]), np.asarray(of[k]), atol=5e-6, err_msg=k)
