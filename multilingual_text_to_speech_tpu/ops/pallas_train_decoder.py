@@ -186,6 +186,7 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                spec_ref, stop_ref, w_ref,
                r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
                r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref,
+               r_act_att_ref, r_act_gen_ref,
                # outgoing carry
                o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
                o_ctx_ref, o_frame_ref, o_cum_ref,
@@ -270,7 +271,10 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             att_in_ref[:, p_pad + m_pad:p_pad + m_pad + hidden] = (
                 o_h_att_ref[:].astype(d))
             gates = _matmul(att_in_ref[:], att_w_ref, d) + att_b_ref[:]
-            h_new, c_new, _ = _lstm_forward(gates, o_c_att_ref[:], hidden)
+            h_new, c_new, acts = _lstm_forward(gates, o_c_att_ref[:], hidden)
+            # post-nonlinearity activations saved so the backward kernel
+            # skips the gate recompute matmul AND its transcendentals
+            r_act_att_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_att, c_att = cell_update(
                 o_h_att_ref[:], o_c_att_ref[:], h_new, c_new, gs,
                 _SALT_ATT_H, _SALT_ATT_C)
@@ -302,7 +306,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             gen_in_ref[:, cfg.h_pad + m_pad:cfg.h_pad + m_pad + hidden] = (
                 o_h_gen_ref[:].astype(d))
             gates = _matmul(gen_in_ref[:], gen_w_ref, d) + gen_b_ref[:]
-            h_new, c_new, _ = _lstm_forward(gates, o_c_gen_ref[:], hidden)
+            h_new, c_new, acts = _lstm_forward(gates, o_c_gen_ref[:], hidden)
+            r_act_gen_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_gen, c_gen = cell_update(
                 o_h_gen_ref[:], o_c_gen_ref[:], h_new, c_new, gs,
                 _SALT_GEN_H, _SALT_GEN_C)
@@ -350,16 +355,15 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
     def kernel(ctrl_ref, teacher_ref,
                # broadcast operands
                mem_ref, mt_ref, band_ref, qe_ref, red_ref,
-               # weights needed for recompute / transpose-matmuls
+               # weights (transpose-matmuls only; no gate recompute)
                pre_w0_ref, pre_w1_ref,
-               att_w_ref, att_b_ref, wq_ref, gen_w_ref, gen_b_ref,
-               head_w_ref,
+               att_w_ref, wq_ref, gen_w_ref, head_w_ref,
                # fwd residual streams for this chunk
-               r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
-               r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref, r_w_ref,
-               # chunk-entry states (the carry that ENTERED this chunk)
-               h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
-               ctx0_ref,
+               r_h_att_ref, r_c_att_ref, r_c_gen_ref,
+               r_cum_ref, r_x_ref, r_d1_ref,
+               r_act_att_ref, r_act_gen_ref, r_w_ref,
+               # chunk-entry cell states (the carry that ENTERED this chunk)
+               c_att0_ref, c_gen0_ref,
                # output cotangent streams
                dspec_ref, dstop_ref, dw_out_ref,
                # incoming cotangent carry (from the chunk after this one)
@@ -372,9 +376,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                dmt_acc_ref, dband_acc_ref, dred_acc_ref, dwq_acc_ref,
                # outputs: outgoing cotangent carry
                o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
-               o_dctx_ref, o_dcum_ref, o_dframe_ref,
-               # scratch concat buffers
-               att_in_ref, gen_in_ref):
+               o_dctx_ref, o_dcum_ref, o_dframe_ref):
         seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
         seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
         chunk_start = ctrl_ref[0, 2]
@@ -390,22 +392,22 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
         dband_acc_ref[:] = jnp.zeros_like(dband_acc_ref)
         dred_acc_ref[:] = jnp.zeros_like(dred_acc_ref)
         dwq_acc_ref[:] = jnp.zeros_like(dwq_acc_ref)
-        att_in_ref[:] = jnp.zeros_like(att_in_ref)
-        gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
 
         def masks(shape, gs, salt):
             return _rand_bits(shape, seed0, seed1, gs * _SALT_SITES + salt)
 
-        def cell_backward(dh_tot, dc_tot, gates, c_prev, gs, salt_h, salt_c):
-            """Shared LSTM+regularization backward.
+        def cell_backward(dh_tot, dc_tot, acts, c_prev, gs, salt_h, salt_c):
+            """Shared LSTM+regularization backward over the STORED
+            post-nonlinearity activations (i|f|g|o) — no gate recompute
+            matmul and no sigmoid/tanh re-evaluation.
 
             Returns (dgates [B,4H], dh_prev_reg, dc_prev) where dh_prev_reg
             is the regularization's pass-through gradient to the previous h
             (zoneout keep-old path; zero for dropout cells)."""
-            i = jax.nn.sigmoid(gates[:, :hidden])
-            f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-            o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            i = acts[:, :hidden]
+            f = acts[:, hidden:2 * hidden]
+            g = acts[:, 2 * hidden:3 * hidden]
+            o = acts[:, 3 * hidden:]
             c_new = f * c_prev + i * g
             tanh_c = jnp.tanh(c_new)
             if cfg.use_zoneout:
@@ -452,14 +454,10 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             teacher = teacher_ref[0, s]
 
             h_att_s = r_h_att_ref[s].astype(jnp.float32)
-            ctx_s = r_ctx_ref[s].astype(jnp.float32)
             cum_s = r_cum_ref[s].astype(jnp.float32)
             w_s = r_w_ref[s]
-            h_att_prev = prev(r_h_att_ref, h_att0_ref, s)
             c_att_prev = prev(r_c_att_ref, c_att0_ref, s)
-            h_gen_prev = prev(r_h_gen_ref, h_gen0_ref, s)
             c_gen_prev = prev(r_c_gen_ref, c_gen0_ref, s)
-            ctx_prev = prev(r_ctx_ref, ctx0_ref, s)
 
             # ---- heads --------------------------------------------------
             dframe_tot = dspec_ref[s] + o_dframe_ref[:]
@@ -475,13 +473,9 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             dctx_tot = o_dctx_ref[:] + dproto[:, h_pad:h_pad + mem_dim]
 
             # ---- generator LSTM ----------------------------------------
-            gen_in_ref[:, :hidden] = h_att_s.astype(d)
-            gen_in_ref[:, h_pad:h_pad + mem_dim] = ctx_s.astype(d)
-            gen_in_ref[:, h_pad + m_pad:h_pad + m_pad + hidden] = (
-                h_gen_prev.astype(d))
-            gates_g = _matmul(gen_in_ref[:], gen_w_ref, d) + gen_b_ref[:]
             dgates_g, dh_prev_reg_g, dc_prev_g = cell_backward(
-                dh_gen_tot, o_dc_gen_ref[:], gates_g, c_gen_prev, gs,
+                dh_gen_tot, o_dc_gen_ref[:],
+                r_act_gen_ref[s].astype(jnp.float32), c_gen_prev, gs,
                 _SALT_GEN_H, _SALT_GEN_C)
             dg_gen_ref[s] = dgates_g.astype(d)
             dcat_g = _matmul(dgates_g, gen_w_ref, d, contract=(1, 1))
@@ -524,13 +518,9 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
 
             # ---- attention LSTM ----------------------------------------
             x_s = r_x_ref[s].astype(jnp.float32)
-            att_in_ref[:, :prenet_dim] = x_s.astype(d)
-            att_in_ref[:, p_pad:p_pad + mem_dim] = ctx_prev.astype(d)
-            att_in_ref[:, p_pad + m_pad:p_pad + m_pad + hidden] = (
-                h_att_prev.astype(d))
-            gates_a = _matmul(att_in_ref[:], att_w_ref, d) + att_b_ref[:]
             dgates_a, dh_prev_reg_a, dc_prev_a = cell_backward(
-                dh_att_tot, o_dc_att_ref[:], gates_a, c_att_prev, gs,
+                dh_att_tot, o_dc_att_ref[:],
+                r_act_att_ref[s].astype(jnp.float32), c_att_prev, gs,
                 _SALT_ATT_H, _SALT_ATT_C)
             dg_att_ref[s] = dgates_a.astype(d)
             dcat_a = _matmul(dgates_a, att_w_ref, d, contract=(1, 1))
@@ -571,7 +561,7 @@ def _chunk_size(total: int, cap: int) -> int:
 
 
 def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
-                budget: int = 110 * 1024 * 1024) -> int:
+                budget: int = 118 * 1024 * 1024) -> int:
     """Largest chunk S <= cap whose kernel fits the VMEM budget.
 
     Rough byte model (validated against Mosaic's OOM dumps on the v5e):
@@ -594,13 +584,19 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
     if backward:
         fixed += 4 * (bb * at + t * at + at * t + cfg.hidden * a)  # f32 accs
     # per-step stream bytes (residuals in/out + grads out + cotangents)
-    per_step = esize * bb * (
-        4 * cfg.hidden + cfg.mem_dim + t + 2 * cfg.prenet_dim + cfg.mmel)
     if backward:
+        # residual reads: h_att, c_att, c_gen, cum, x, d1, acts x2
+        per_step = esize * bb * (
+            3 * cfg.hidden + t + 2 * cfg.prenet_dim + 8 * cfg.hidden)
+        # grad writes: dgates x2, da_frame, da1, da2, dctx, dshift
         per_step += esize * bb * (8 * cfg.hidden + 2 * cfg.mmel
                                   + 2 * cfg.prenet_dim + cfg.mem_dim)
         per_step += 4 * bb * (cfg.mmel + 1 + t + t)  # dspec/dstop/dw_out + w
     else:
+        # residual writes incl. the two activation streams
+        per_step = esize * bb * (
+            4 * cfg.hidden + cfg.mem_dim + t + 2 * cfg.prenet_dim
+            + cfg.mmel + 8 * cfg.hidden)
         per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
     s = cap
     while s > 1 and fixed + s * per_step > budget:
@@ -611,8 +607,7 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
 _WEIGHT_ORDER = ("pre_w0", "pre_b0", "pre_w1", "pre_b1",
                  "att_w", "att_b", "wq", "gen_w", "gen_b",
                  "head_w", "head_b")
-_BWD_WEIGHT_ORDER = ("pre_w0", "pre_w1", "att_w", "att_b", "wq",
-                     "gen_w", "gen_b", "head_w")
+_BWD_WEIGHT_ORDER = ("pre_w0", "pre_w1", "att_w", "wq", "gen_w", "head_w")
 
 _VMEM_LIMIT = 128 * 1024 * 1024
 
@@ -636,6 +631,8 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, p), d),        # r_x
         jax.ShapeDtypeStruct((steps, b, p), d),        # r_d1
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # r_raw
+        jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_att
+        jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_gen
         jax.ShapeDtypeStruct((b, hid), f32),           # carries...
         jax.ShapeDtypeStruct((b, hid), f32),
         jax.ShapeDtypeStruct((b, hid), f32),
@@ -688,7 +685,9 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, t), f32),
         jax.ShapeDtypeStruct((b, mmel), f32),
     )
-    n_vmem_in = (5 + len(_BWD_WEIGHT_ORDER) + 10 + 5 + 3 + 7)
+    # 5 broadcast + weights + 9 residual streams + 2 entry cell states
+    # + 3 cotangent streams + 7 carry
+    n_vmem_in = (5 + len(_BWD_WEIGHT_ORDER) + 9 + 2 + 3 + 7)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -696,10 +695,6 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((b, cfg.att_in), d),
-            pltpu.VMEM((b, cfg.gen_in), d),
-        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )
@@ -768,14 +763,14 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 *carry,
                 *w_ops,
             )
-            per_chunk.append(out[:12])
-            carry = out[12:]
+            per_chunk.append(out[:14])
+            carry = out[14:]
         streams = [jnp.concatenate(parts, axis=0)
                    for parts in zip(*per_chunk)]
         (spec, stop, w_seq, r_h_att, r_c_att, r_h_gen, r_c_gen,
-         r_ctx, r_cum, r_x, r_d1, r_raw) = streams
+         r_ctx, r_cum, r_x, r_d1, r_raw, r_act_att, r_act_gen) = streams
         residuals = (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-                     r_x, r_d1, r_raw, w_seq)
+                     r_x, r_d1, r_raw, r_act_att, r_act_gen, w_seq)
         return (spec, stop, w_seq), residuals
 
     def core(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
@@ -797,16 +792,14 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         (ops, memory, teacher, seeds, init_carry, residuals) = res
         dspec, dstop, dw_out = cts
         (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-         r_x, r_d1, r_raw, w_seq) = residuals
+         r_x, r_d1, r_raw, r_act_att, r_act_gen, w_seq) = residuals
         f = teacher.shape[0]
         b = memory.shape[0]
         s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.bwd_chunk, True))
         call = _bwd_call(cfg, s_chunk, b, interpret)
         qe = jnp.asarray(qe_np, d)
 
-        w_ops = {k: (ops[k].astype(jnp.float32)
-                     if k in ("att_b", "gen_b") else ops[k].astype(d))
-                 for k in _BWD_WEIGHT_ORDER}
+        w_ops = {k: ops[k].astype(d) for k in _BWD_WEIGHT_ORDER}
         mem_d = memory.astype(d)
         band, red, mt_am = (ops["band"].astype(d), ops["red"].astype(d),
                             ops["mt_am"].astype(d))
@@ -829,20 +822,17 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             ).reshape(1, 3)
             t_chunk = teacher[lo:hi].reshape(1, -1)
             if k == 0:
-                entry = (h0, c0, hg0, cg0, ctx0)
+                entry = (c0, cg0)
             else:
-                entry = (r_h_att[lo - 1].astype(jnp.float32),
-                         r_c_att[lo - 1].astype(jnp.float32),
-                         r_h_gen[lo - 1].astype(jnp.float32),
-                         r_c_gen[lo - 1].astype(jnp.float32),
-                         r_ctx[lo - 1].astype(jnp.float32))
+                entry = (r_c_att[lo - 1].astype(jnp.float32),
+                         r_c_gen[lo - 1].astype(jnp.float32))
             out = call(
                 ctrl, t_chunk,
                 mem_d, mt_am, band, qe, red,
                 *(w_ops[kk] for kk in _BWD_WEIGHT_ORDER),
-                r_h_att[lo:hi], r_c_att[lo:hi], r_h_gen[lo:hi],
-                r_c_gen[lo:hi], r_ctx[lo:hi], r_cum[lo:hi],
-                r_x[lo:hi], r_d1[lo:hi], r_raw[lo:hi], w_seq[lo:hi],
+                r_h_att[lo:hi], r_c_att[lo:hi], r_c_gen[lo:hi],
+                r_cum[lo:hi], r_x[lo:hi], r_d1[lo:hi],
+                r_act_att[lo:hi], r_act_gen[lo:hi], w_seq[lo:hi],
                 *entry,
                 dspec[lo:hi], dstop[lo:hi], dw_out[lo:hi],
                 *dcarry,
