@@ -60,7 +60,7 @@ profile the kernel with stages stubbed out.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -419,6 +419,36 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
     )
 
 
+def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
+                    chunk, dtype, budget=110 * 1024 * 1024):
+    """Largest batch-block whose kernel fits the VMEM budget.
+
+    Byte model validated on the v5e: weights + the folded attention
+    operands (which grow with T^2) are block-independent; memory,
+    transform, outputs and concat scratch scale per row.  At T=128 this
+    admits a single 240-row block (measured +4% over two 120-row blocks);
+    at T=256 the [T, A*T] operands force ~64-row blocks."""
+    esize = 2 if dtype == jnp.bfloat16 else 4
+    at = att_dim * t_len
+    p_pad, m_pad, h_pad = _r128(prenet_dim), _r128(mem_dim), _r128(hidden)
+    att_in = p_pad + m_pad + h_pad
+    gen_in = h_pad + m_pad + h_pad
+    head_in = h_pad + m_pad
+    fixed = esize * (
+        att_in * 4 * hidden + gen_in * 4 * hidden + head_in * (mmel + 1)
+        + mmel * prenet_dim + prenet_dim * prenet_dim + hidden * att_dim
+        + t_len * at + att_dim * at + at * t_len   # band, qe, red
+    )
+    per_row = (
+        esize * (t_len * m_pad + at                 # memory, mt_am
+                 + att_in + gen_in + head_in)       # concat scratch
+        + 4 * chunk * (_r128(mmel) + 1)             # spec/stop outputs
+        + 4 * (4 * hidden + mem_dim + t_len + mmel + t_len)  # carries, mask
+    )
+    cap = max(int((budget - fixed) // max(per_row, 1)), 8)
+    return min(cap, 256)
+
+
 def fused_decode_chunk(
     bundle: Dict[str, jnp.ndarray],
     carry: Carry,
@@ -431,7 +461,7 @@ def fused_decode_chunk(
     dropout_rate: float,
     zoneout_h: float,
     zoneout_c: float,
-    block_cap: int = 128,
+    block_cap: Optional[int] = None,  # None = VMEM-model auto
     interpret: bool = False,
 ) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Drop-in replacement for ``Decoder.decode_chunk`` (inference mode).
@@ -446,9 +476,13 @@ def fused_decode_chunk(
     mmel = carry["frame"].shape[-1]
     prenet_dim = int(bundle["pre_w0"].shape[-1])
     steps = int(chunk_frames)
+    dtype = bundle["att_w"].dtype
+    if block_cap is None:
+        env_cap = os.environ.get("MTTS_PALLAS_BLOCK_CAP")
+        block_cap = (int(env_cap) if env_cap else _auto_block_cap(
+            t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype))
     bb = _largest_block(b, block_cap)
     n_blocks = b // bb
-    dtype = bundle["att_w"].dtype
 
     kernel = _build_kernel(
         steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
