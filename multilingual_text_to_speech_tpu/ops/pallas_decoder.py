@@ -478,9 +478,13 @@ def fused_decode_chunk(
     steps = int(chunk_frames)
     dtype = bundle["att_w"].dtype
     if block_cap is None:
-        env_cap = os.environ.get("MTTS_PALLAS_BLOCK_CAP")
-        block_cap = (int(env_cap) if env_cap else _auto_block_cap(
-            t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype))
+        try:
+            env_cap = int(os.environ.get("MTTS_PALLAS_BLOCK_CAP", ""))
+        except ValueError:
+            env_cap = 0
+        # non-positive/unset/garbage -> the VMEM-model auto size
+        block_cap = env_cap if env_cap > 0 else _auto_block_cap(
+            t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype)
     bb = _largest_block(b, block_cap)
     n_blocks = b // bb
 

@@ -170,28 +170,29 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
     dh_thresh = _thresh(dh_keep)
     dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
 
-    def kernel(ctrl_ref, teacher_ref,
-               # broadcast operands
-               mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref,
-               # chunk inputs
-               shifted_ref,
-               # incoming carry
-               h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
-               ctx0_ref, frame0_ref, cum0_ref,
-               # weights
-               pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
-               att_w_ref, att_b_ref, wq_ref,
-               gen_w_ref, gen_b_ref, head_w_ref, head_b_ref,
-               # outputs: per-step streams
-               spec_ref, stop_ref, w_ref,
-               r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
-               r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref,
-               r_act_att_ref, r_act_gen_ref,
-               # outgoing carry
-               o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
-               o_ctx_ref, o_frame_ref, o_cum_ref,
-               # scratch
-               att_in_ref, gen_in_ref, head_in_ref):
+    def kernel(*refs):
+        # inputs: 2 SMEM + 7 broadcast/chunk + 7 carry + 11 weights
+        (ctrl_ref, teacher_ref,
+         mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref, shifted_ref,
+         h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
+         ctx0_ref, frame0_ref, cum0_ref,
+         pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
+         att_w_ref, att_b_ref, wq_ref,
+         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = refs[:27]
+        out = refs[27:]
+        spec_ref, stop_ref, w_ref = out[:3]
+        if cfg.train:
+            # residual streams only exist in training mode — the eval/GTA
+            # forward never differentiates, so it skips all 11 HBM streams
+            (r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
+             r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref,
+             r_act_att_ref, r_act_gen_ref) = out[3:14]
+            rest = out[14:]
+        else:
+            rest = out[3:]
+        (o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
+         o_ctx_ref, o_frame_ref, o_cum_ref,
+         att_in_ref, gen_in_ref, head_in_ref) = rest
         seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
         seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
         chunk_start = ctrl_ref[0, 2]
@@ -243,7 +244,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             cum = o_cum_ref[:]
 
             raw = jnp.where(teacher > 0, shifted_ref[s], o_frame_ref[:])
-            r_raw_ref[s] = raw.astype(d)
+            if cfg.train:
+                r_raw_ref[s] = raw.astype(d)
 
             # prenet (dropout always on)
             a1 = _matmul(raw, pre_w0_ref, d) + pre_b0_ref[:]
@@ -254,7 +256,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 d1 = jnp.where(bits < pre_thresh, r1 * pre_scale, 0.0)
             else:
                 d1 = r1
-            r_d1_ref[s] = d1.astype(d)
+            if cfg.train:
+                r_d1_ref[s] = d1.astype(d)
             a2 = _matmul(d1, pre_w1_ref, d) + pre_b1_ref[:]
             r2 = jax.nn.relu(a2)
             if cfg.dropout_rate > 0.0:
@@ -263,7 +266,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 x = jnp.where(bits < pre_thresh, r2 * pre_scale, 0.0)
             else:
                 x = r2
-            r_x_ref[s] = x.astype(d)
+            if cfg.train:
+                r_x_ref[s] = x.astype(d)
 
             # attention LSTM
             att_in_ref[:, :prenet_dim] = x.astype(d)
@@ -274,17 +278,20 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             h_new, c_new, acts = _lstm_forward(gates, o_c_att_ref[:], hidden)
             # post-nonlinearity activations saved so the backward kernel
             # skips the gate recompute matmul AND its transcendentals
-            r_act_att_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
+            if cfg.train:
+                r_act_att_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_att, c_att = cell_update(
                 o_h_att_ref[:], o_c_att_ref[:], h_new, c_new, gs,
                 _SALT_ATT_H, _SALT_ATT_C)
             o_h_att_ref[:] = h_att
             o_c_att_ref[:] = c_att
-            r_h_att_ref[s] = h_att.astype(d)
-            r_c_att_ref[s] = c_att.astype(d)
+            if cfg.train:
+                r_h_att_ref[s] = h_att.astype(d)
+                r_c_att_ref[s] = c_att.astype(d)
 
             # location-sensitive attention (A-major folded layout)
-            r_cum_ref[s] = cum.astype(d)  # cum BEFORE this step's update
+            if cfg.train:
+                r_cum_ref[s] = cum.astype(d)  # cum BEFORE this step's update
             q = _matmul(h_att, wq_ref, d).astype(d)
             loc = _matmul(cum, band_ref, d).astype(d)
             qt = _matmul(q, qe_ref, d).astype(d)
@@ -298,7 +305,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                           axis=1, dtype=jnp.float32)
             o_ctx_ref[:] = ctx
             o_cum_ref[:] = cum + w
-            r_ctx_ref[s] = ctx.astype(d)
+            if cfg.train:
+                r_ctx_ref[s] = ctx.astype(d)
 
             # generator LSTM
             gen_in_ref[:, :hidden] = h_att.astype(d)
@@ -307,14 +315,16 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 o_h_gen_ref[:].astype(d))
             gates = _matmul(gen_in_ref[:], gen_w_ref, d) + gen_b_ref[:]
             h_new, c_new, acts = _lstm_forward(gates, o_c_gen_ref[:], hidden)
-            r_act_gen_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
+            if cfg.train:
+                r_act_gen_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_gen, c_gen = cell_update(
                 o_h_gen_ref[:], o_c_gen_ref[:], h_new, c_new, gs,
                 _SALT_GEN_H, _SALT_GEN_C)
             o_h_gen_ref[:] = h_gen
             o_c_gen_ref[:] = c_gen
-            r_h_gen_ref[s] = h_gen.astype(d)
-            r_c_gen_ref[s] = c_gen.astype(d)
+            if cfg.train:
+                r_h_gen_ref[s] = h_gen.astype(d)
+                r_c_gen_ref[s] = c_gen.astype(d)
 
             # frame/stop heads (fused)
             head_in_ref[:, :hidden] = h_gen.astype(d)
@@ -592,12 +602,14 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         per_step += esize * bb * (8 * cfg.hidden + 2 * cfg.mmel
                                   + 2 * cfg.prenet_dim + cfg.mem_dim)
         per_step += 4 * bb * (cfg.mmel + 1 + t + t)  # dspec/dstop/dw_out + w
-    else:
+    elif cfg.train:
         # residual writes incl. the two activation streams
         per_step = esize * bb * (
             4 * cfg.hidden + cfg.mem_dim + t + 2 * cfg.prenet_dim
             + cfg.mmel + 8 * cfg.hidden)
         per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
+    else:
+        per_step = 4 * bb * (cfg.mmel + 1 + t)       # eval: outputs only
     s = cap
     while s > 1 and fixed + s * per_step > budget:
         s //= 2
@@ -618,10 +630,7 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
     t, mem, hid, mmel, p = (cfg.t_len, cfg.mem_dim, cfg.hidden, cfg.mmel,
                             cfg.prenet_dim)
     kernel = _build_fwd_kernel(cfg, steps)
-    out_shape = (
-        jax.ShapeDtypeStruct((steps, b, mmel), f32),   # spec
-        jax.ShapeDtypeStruct((steps, b), f32),         # stop
-        jax.ShapeDtypeStruct((steps, b, t), f32),      # w
+    residual_shapes = (
         jax.ShapeDtypeStruct((steps, b, hid), d),      # r_h_att
         jax.ShapeDtypeStruct((steps, b, hid), d),      # r_c_att
         jax.ShapeDtypeStruct((steps, b, hid), d),      # r_h_gen
@@ -633,6 +642,12 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # r_raw
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_att
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_gen
+    ) if cfg.train else ()
+    out_shape = (
+        jax.ShapeDtypeStruct((steps, b, mmel), f32),   # spec
+        jax.ShapeDtypeStruct((steps, b), f32),         # stop
+        jax.ShapeDtypeStruct((steps, b, t), f32),      # w
+        *residual_shapes,
         jax.ShapeDtypeStruct((b, hid), f32),           # carries...
         jax.ShapeDtypeStruct((b, hid), f32),
         jax.ShapeDtypeStruct((b, hid), f32),
@@ -763,10 +778,14 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 *carry,
                 *w_ops,
             )
-            per_chunk.append(out[:14])
-            carry = out[14:]
+            n_streams = 14 if cfg.train else 3
+            per_chunk.append(out[:n_streams])
+            carry = out[n_streams:]
         streams = [jnp.concatenate(parts, axis=0)
                    for parts in zip(*per_chunk)]
+        if not cfg.train:
+            spec, stop, w_seq = streams
+            return (spec, stop, w_seq), None
         (spec, stop, w_seq, r_h_att, r_c_att, r_h_gen, r_c_gen,
          r_ctx, r_cum, r_x, r_d1, r_raw, r_act_att, r_act_gen) = streams
         residuals = (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
@@ -777,6 +796,14 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         outs, _ = _run_forward(ops, memory, mask_add, shifted, teacher,
                                seeds, init_carry)
         return outs
+
+    if not cfg.train:
+        # eval/GTA: NO custom VJP — the backward kernel regenerates
+        # train-mode stochastic masks, which would be silently wrong for
+        # the deterministic eval forward. A plain function makes jax.grad
+        # fail loudly (pallas_call is not differentiable) instead.
+        core.run_forward = core
+        return core
 
     core_vjp = jax.custom_vjp(core)
 
