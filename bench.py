@@ -72,6 +72,9 @@ def main():
 
     if (getattr(hp, "use_pallas_decoder", False)
             and pallas_decoder.supports(hp)
+            # mirror synthesis.py's per-call gate: long texts outgrow the
+            # folded attention operands' VMEM and must take the XLA scan
+            and pallas_decoder.supports_shapes(text_len)
             and jax.devices()[0].platform == "tpu"):
         # fused whole-chunk Pallas decoder: weights + attention memory stay
         # VMEM-resident across the chunk (ops/pallas_decoder.py)
@@ -107,36 +110,7 @@ def main():
 
     # Preferred measurement: DEVICE time from a jax.profiler trace — immune
     # to the host<->device tunnel latency/variance of wall-clock timing.
-    device_secs = None
-    try:
-        import glob
-        import gzip
-        import tempfile
-
-        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
-        jax.profiler.start_trace(trace_dir)
-        run(1)
-        jax.profiler.stop_trace()
-
-        trace_file = sorted(glob.glob(
-            f"{trace_dir}/**/*.trace.json.gz", recursive=True))[-1]
-        data = json.load(gzip.open(trace_file))
-        events = data["traceEvents"]
-        pids = {
-            e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-        }
-        device_us = sum(
-            e.get("dur", 0)
-            for e in events
-            if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-            and e.get("name", "").startswith("jit_")
-        )
-        if device_us > 0:
-            device_secs = device_us / 1e6
-    except Exception:
-        device_secs = None
+    device_secs = _profiled_device_secs(lambda: run(1))
 
     if device_secs is not None:
         frames_per_sec = batch * decode_frames / device_secs
@@ -163,6 +137,43 @@ def main():
         "unit": "mel_frames_per_sec_per_chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
     }))
+
+
+def _profiled_device_secs(run_fn):
+    """Run ``run_fn`` under a jax.profiler trace and return the summed
+    DEVICE-side time (seconds) of the jitted computations, or None if
+    tracing fails.  Wall clock through the device tunnel jitters by tens of
+    milliseconds between runs; device events do not."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+        jax.profiler.start_trace(trace_dir)
+        run_fn()
+        jax.profiler.stop_trace()
+
+        trace_file = sorted(glob.glob(
+            f"{trace_dir}/**/*.trace.json.gz", recursive=True))[-1]
+        data = json.load(gzip.open(trace_file))
+        events = data["traceEvents"]
+        pids = {
+            e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+        }
+        device_us = sum(
+            e.get("dur", 0)
+            for e in events
+            if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
+            and e.get("name", "").startswith("jit_")
+        )
+        return device_us / 1e6 if device_us > 0 else None
+    except Exception:
+        return None
 
 
 def train_bench():
@@ -225,22 +236,33 @@ def train_bench():
         params, batch_stats, opt_state, key)
     float(loss)  # force warmup
 
-    one = jax.jit(lambda x: x + 1)
-    float(one(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(one(jnp.float32(0)))
-    latency = (time.perf_counter() - t0) / 5
+    # preferred: device time from a profiler trace (same as the main bench)
+    state = {"params": params, "bs": batch_stats, "opt": opt_state}
 
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        loss, params, batch_stats, opt_state = train_step(
-            params, batch_stats, opt_state, jax.random.PRNGKey(i + 1))
+    def one_step(i):
+        loss, state["params"], state["bs"], state["opt"] = train_step(
+            state["params"], state["bs"], state["opt"],
+            jax.random.PRNGKey(i))
         float(loss)
-        times.append(time.perf_counter() - t0)
 
-    best = max(min(times) - latency, 1e-6)
+    device_secs = _profiled_device_secs(lambda: one_step(1))
+    if device_secs is not None:
+        best = device_secs
+    else:
+        # fallback only: wall clock minus measured round-trip latency
+        one = jax.jit(lambda x: x + 1)
+        float(one(jnp.float32(0)))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            float(one(jnp.float32(0)))
+        latency = (time.perf_counter() - t0) / 5
+
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            one_step(i + 2)
+            times.append(time.perf_counter() - t0)
+        best = max(min(times) - latency, 1e-6)
     # 512 frames/utt at 80 frames/s = 6.4 s of audio per stream
     audio_secs = batch * frames / 80.0
     print(json.dumps({

@@ -143,9 +143,6 @@ _DEFAULTS: Dict[str, Any] = {
     # Compute dtype for matmul-heavy paths ('bfloat16' or 'float32').
     # Parameters and loss accumulation stay float32.
     "compute_dtype": "bfloat16",
-    # Fused Pallas TPU kernel for the location-sensitive attention step
-    # (ops/pallas_attention.py). CPU/interpret fallback exists for tests.
-    "use_pallas_attention": False,
     # Fused whole-chunk Pallas decoder for inference (ops/pallas_decoder.py):
     # the AR step loop runs inside one kernel with weights and attention
     # memory VMEM-resident. Used by the Synthesizer when the config is

@@ -53,19 +53,18 @@ class LocationSensitiveAttention(nn.Module):
     Energy = v . tanh(W_q q + W_m m + W_l conv(cumulative_weights) + b);
     state carries the cumulative weights.
 
-    With ``use_pallas=True`` (and softmax normalization) the whole step —
-    location conv, projections, energy, masked softmax, context matvec —
-    runs as one fused VMEM-resident Pallas kernel
-    (ops/pallas_attention.py), eliminating the intermediate HBM traffic
-    inside the AR decode scan.
+    This XLA step is already well-fused inside the decoder scan; the hot
+    serving/training paths bypass it entirely via the whole-chunk Pallas
+    decoder kernels (ops/pallas_decoder.py, ops/pallas_train_decoder.py),
+    which fold the conv/projection/reduction into VMEM-resident matmuls.
+    (A per-step fused attention kernel was tried in round 2 and measured 4x
+    SLOWER than XLA's own scan-body fusion — superseded and removed.)
     """
 
     representation_dim: int = 128
     kernel_size: int = 31
     location_channels: int = 32
     smoothing: bool = False
-    use_pallas: bool = False
-    pallas_interpret: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,20 +90,6 @@ class LocationSensitiveAttention(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (1, a))
         v = self.param("energy_kernel", nn.initializers.lecun_normal(),
                        (a, 1))
-
-        if self.use_pallas and not self.smoothing:
-            from multilingual_text_to_speech_tpu.ops.pallas_attention import (
-                fused_attention_step,
-            )
-
-            q_pre = query.astype(jnp.float32) @ wq + bias
-            context, weights, new_cum = fused_attention_step(
-                q_pre, memory, memory_transform, cum_weights, mask,
-                loc_filter[:, 0, :], wl, v,
-                kernel_size=self.kernel_size,
-                interpret=self.pallas_interpret,
-            )
-            return context, weights, {"weights": new_cum}
 
         q = (query.astype(self.dtype) @ wq.astype(self.dtype))[:, None, :]
         loc = jax.lax.conv_general_dilated(

@@ -65,7 +65,6 @@ def _make_attention(attention_type: str, hp_like, dtype):
             kernel_size=hp_like.attention_kernel_size,
             location_channels=hp_like.attention_location_dimension,
             smoothing=False,
-            use_pallas=bool(getattr(hp_like, "use_pallas_attention", False)),
             dtype=dtype,
             name="attention",
         )
@@ -262,7 +261,7 @@ class Decoder(nn.Module):
             [jnp.zeros_like(target[:, :1]), target[:, :-1]], axis=1
         )
 
-        if self._use_fused_train(b, t):
+        if self._use_fused_train(b, t, memory.shape[-1]):
             # fused Pallas chunk kernels with a custom VJP: weights and
             # attention memory stay VMEM-resident across the scan in both
             # the forward and the backward pass (ops/pallas_train_decoder.py)
@@ -323,7 +322,8 @@ class Decoder(nn.Module):
 
         return os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "") == "interpret"
 
-    def _use_fused_train(self, batch: int, t_len: int) -> bool:
+    def _use_fused_train(self, batch: int, t_len: int,
+                         mem_dim: int) -> bool:
         """Route training decode through the fused Pallas kernels when the
         config/hardware supports it (same gate shape as the Synthesizer's
         inference kernel; MTTS_PALLAS_TRAIN_DECODER: ""/auto, "off", or
@@ -361,6 +361,14 @@ class Decoder(nn.Module):
             bool(getattr(hp, "use_pallas_train_decoder", False))
             and pallas_train_decoder.supports(hp)
             and pallas_train_decoder.supports_shapes(shard_batch_size, t_len)
+            # byte-model fit check at the actual dims: long texts at large
+            # hidden dims bust the backward kernel's VMEM well below the
+            # flat 256-symbol bound — those must take the XLA scan, not
+            # crash in Mosaic (interpret mode has no VMEM limit)
+            and (force == "interpret" or pallas_train_decoder.fits_vmem(
+                hp, shard_batch_size, t_len, mem_dim,
+                int(hp.attention_dimension), dtype=self.dtype,
+                train=self.train))
             and force != "off"
             and mesh_ok
             and (jax.devices()[0].platform == "tpu" or force == "interpret")

@@ -226,23 +226,6 @@ def _to_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
     )
 
 
-def _to_grouped4(x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """[B, T, C] language-interleaved -> group-explicit [B/g, T, g, C].
-
-    The generated stack runs entirely in this 4-D layout: grouped convs are
-    per-tap batched einsums and the highway gate is a last-axis slice — the
-    flat [B/g, T, g*C] layout costs a ~1 ms relayout per layer at serving
-    batch sizes (XLA grouped-conv lowering)."""
-    b, t, c = x.shape
-    return jnp.transpose(x.reshape(b // groups, groups, t, c), (0, 2, 1, 3))
-
-
-def _from_grouped4(x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """[B/g, T, g, C] -> [B, T, C] (inverse of _to_grouped4)."""
-    bg, t, g, c = x.shape
-    return jnp.transpose(x, (0, 2, 1, 3)).reshape(bg * g, t, c)
-
-
 def _expand_for_mixing(x, x_lengths, groups: int):
     """Replicate every sample across all language groups for inference-time
     accent mixing: out[b*g + j] = x[b] (language-interleaved layout where
@@ -279,16 +262,6 @@ def _grouped_length_mask(x_lengths, batch: int, time: int,
         m[..., None], (batch // groups, time, groups, channels)
     )
     return m.reshape(batch // groups, time, groups * channels)
-
-
-def _grouped_length_mask4(x_lengths, batch: int, time: int, groups: int,
-                          dtype=jnp.float32):
-    """Per-sample length mask in the group-explicit layout [B/g, T, g, 1]."""
-    if x_lengths is None:
-        return None
-    m = (jnp.arange(time)[None, :] < x_lengths[:, None]).astype(dtype)
-    m = m.reshape(batch // groups, groups, time).transpose(0, 2, 1)
-    return m[..., None]  # [B/g, T, g, 1]
 
 
 def _from_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:

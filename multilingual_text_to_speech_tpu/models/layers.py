@@ -129,29 +129,6 @@ class HighwayConvBlock(nn.Module):
         return _highway_gate(h, x, self.groups)
 
 
-def _grouped_conv_taps(x: jnp.ndarray, kernel: jnp.ndarray, *, k: int,
-                       dilation: int, groups: int, dtype) -> jnp.ndarray:
-    """Grouped 1-D 'same' conv as ``k`` per-tap batched matmuls, in the
-    group-explicit 4-D layout.
-
-    ``x``: [B, T, g, cin]; ``kernel``: [k, cin, g, cout].  Each tap is an
-    einsum over the group axis — g dense [B*T, cin] x [cin, cout] MXU
-    matmuls, accumulated in f32 — with no grouped-conv relayout and no
-    3-D/4-D reshapes (profiled at ~1 ms each at serving batch sizes)."""
-    b, t = x.shape[0], x.shape[1]
-    kg = kernel.astype(dtype)
-    xg = x.astype(dtype)
-    lo, hi = same_pad_amounts(k, dilation)
-    xp = jnp.pad(xg, ((0, 0), (lo, hi), (0, 0), (0, 0)))
-    out = None
-    for tap in range(k):
-        xs = xp[:, tap * dilation: tap * dilation + t]
-        y = jnp.einsum("btgi,igo->btgo", xs, kg[tap],
-                       preferred_element_type=jnp.float32)
-        out = y if out is None else out + y
-    return out.astype(dtype)
-
-
 # ---------------------------------------------------------------------------
 # Meta-generated layers (contextual parameter generator)
 # ---------------------------------------------------------------------------
@@ -203,17 +180,8 @@ class Conv1dGenerated(nn.Module):
 
     def conv(self, x: jnp.ndarray, kernel: jnp.ndarray,
              bias: jnp.ndarray | None) -> jnp.ndarray:
-        """Apply the generated conv.  ``x`` may be the flat [B, T, g*cin]
-        layout (reference-compatible) or the group-explicit 4-D
-        [B, T, g, cin] layout the encoder stack runs in."""
-        if x.ndim == 4:
-            y = _grouped_conv_taps(
-                x, kernel, k=self.kernel, dilation=self.dilation,
-                groups=self.groups, dtype=self.dtype,
-            )
-            if bias is not None:
-                y = y + bias.reshape(self.groups, -1).astype(y.dtype)
-            return y
+        """Apply the generated conv to the flat [B, T, g*cin] layout
+        (language-interleaved channel blocks, reference-compatible)."""
         pad = same_pad_amounts(self.kernel, self.dilation)
         wio = kernel.reshape(kernel.shape[0], kernel.shape[1], -1)  # [k,cin,g*cout]
         y = jax.lax.conv_general_dilated(
@@ -271,14 +239,10 @@ class BatchNorm1dGenerated(nn.Module):
         return scale, bias, ra_mean, ra_var
 
     def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """``x``: flat [..., g*c] or group-explicit 4-D [B, T, g, c]; the
-        running stats are flat [g*c] either way."""
+        """``x``: flat [..., g*c]; the running stats are flat [g*c]."""
         train = self.train
         scale, bias, ra_mean, ra_var = self.affine_and_stats(embedding)
-        ch_shape = (
-            (self.groups, self.num_features // self.groups)
-            if x.ndim == 4 else (self.num_features,)
-        )
+        ch_shape = (self.num_features,)
 
         if train:
             x32 = x.astype(jnp.float32)
@@ -412,7 +376,7 @@ class HighwayConvBlockGenerated(nn.Module):
         )
 
     def __call__(self, embedding: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        if x.ndim == 3 and self.batch_norm and not self.train:
+        if self.batch_norm and not self.train:
             # EVAL: split the 2x-wide conv at kernel-generation time into an
             # aligned gate conv + value conv (per-group channel blocks are
             # [gate c | value c], the torch even/odd chunk layout,
@@ -429,9 +393,4 @@ class HighwayConvBlockGenerated(nn.Module):
             p = jax.nn.sigmoid(h1)
             return h2 * p + x * (1.0 - p)
         h = self.block(embedding, x)
-        if x.ndim == 4:
-            # group-explicit layout: the gate is a LAST-AXIS slice
-            c = self.out_channels // self.groups
-            p = jax.nn.sigmoid(h[..., :c])
-            return h[..., c:] * p + x * (1.0 - p)
         return _highway_gate(h, x, self.groups)

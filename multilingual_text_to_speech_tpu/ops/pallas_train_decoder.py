@@ -74,8 +74,30 @@ def supports(hp) -> bool:
 
 
 def supports_shapes(batch: int, memory_len: int) -> bool:
-    """Per-call shape gate: one batch block, VMEM-resident attention."""
+    """Coarse per-call shape gate: one batch block, VMEM-resident attention.
+
+    This is a necessary condition only — callers on real hardware must ALSO
+    pass :func:`fits_vmem`, which runs the byte model at the actual dims
+    (at flagship dims the backward kernel stops fitting well below the flat
+    256-symbol bound here)."""
     return batch <= 128 and memory_len <= _MAX_MEMORY_LEN
+
+
+def fits_vmem(hp, batch: int, t_len: int, mem_dim: int, att_dim: int,
+              dtype=jnp.float32, train: bool = True) -> bool:
+    """True if BOTH chunk kernels fit the VMEM budget at these dims.
+
+    Runs the same byte model that sizes the chunks (``_vmem_chunk``); a
+    shape whose chunk-independent footprint alone busts the budget (e.g.
+    flagship dims with t_len ≳ 200 in training) must route to the XLA scan
+    instead of crashing in Mosaic with a VMEM OOM."""
+    cfg = _make_cfg(hp, t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
+                    dtype=dtype, train=train)
+    if _vmem_chunk(cfg, batch, cfg.fwd_chunk, False) < 1:
+        return False
+    if train and _vmem_chunk(cfg, batch, cfg.bwd_chunk, True) < 1:
+        return False
+    return True
 
 
 # ---------------------------------------------------------------------------
@@ -563,6 +585,25 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
 # ---------------------------------------------------------------------------
 
 
+def _make_cfg(hp, *, t_len: int, mem_dim: int, att_dim: int, dtype,
+              fwd_chunk: int = 64, bwd_chunk: int = 32,
+              train: bool = True) -> "_Cfg":
+    """Kernel configuration from hparams + runtime dims (single source for
+    the decode factory and the ``fits_vmem`` routing gate)."""
+    use_zoneout = hp.decoder_regularization == "zoneout"
+    zo_h = float(hp.zoneout_hidden) if use_zoneout else float(hp.dropout_hidden)
+    zo_c = float(hp.zoneout_cell) if use_zoneout else 0.0
+    return _Cfg(
+        t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
+        hidden=int(hp.decoder_dimension), mmel=int(hp.num_mels),
+        prenet_dim=int(hp.prenet_dimension),
+        dropout_rate=float(hp.dropout),
+        zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
+        dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
+        train=train,
+    )
+
+
 def _chunk_size(total: int, cap: int) -> int:
     for s in range(min(cap, total), 0, -1):
         if total % s == 0:
@@ -610,6 +651,8 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
     else:
         per_step = 4 * bb * (cfg.mmel + 1 + t)       # eval: outputs only
+    if fixed + per_step > budget:
+        return 0  # no-fit: even a single-step chunk busts the budget
     s = cap
     while s > 1 and fixed + s * per_step > budget:
         s //= 2
@@ -752,7 +795,15 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                      init_carry):
         f = shifted.shape[0]
         b = memory.shape[0]
-        s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.fwd_chunk, False))
+        cap = _vmem_chunk(cfg, b, cfg.fwd_chunk, False)
+        if cap < 1:
+            if not interpret:
+                raise ValueError(
+                    "fused train decoder forward does not fit VMEM at "
+                    f"t_len={cfg.t_len}, batch={b}, hidden={cfg.hidden}; "
+                    "callers must gate on pallas_train_decoder.fits_vmem()")
+            cap = cfg.fwd_chunk  # interpreter mode has no VMEM limit
+        s_chunk = _chunk_size(f, cap)
         call = _fwd_call(cfg, s_chunk, b, interpret)
         qe = jnp.asarray(qe_np, d)
         w_ops = []
@@ -822,7 +873,15 @@ def make_core(cfg: _Cfg, interpret: bool = False):
          r_x, r_d1, r_raw, r_act_att, r_act_gen, w_seq) = residuals
         f = teacher.shape[0]
         b = memory.shape[0]
-        s_chunk = _chunk_size(f, _vmem_chunk(cfg, b, cfg.bwd_chunk, True))
+        cap = _vmem_chunk(cfg, b, cfg.bwd_chunk, True)
+        if cap < 1:
+            if not interpret:
+                raise ValueError(
+                    "fused train decoder backward does not fit VMEM at "
+                    f"t_len={cfg.t_len}, batch={b}, hidden={cfg.hidden}; "
+                    "callers must gate on pallas_train_decoder.fits_vmem()")
+            cap = cfg.bwd_chunk
+        s_chunk = _chunk_size(f, cap)
         call = _bwd_call(cfg, s_chunk, b, interpret)
         qe = jnp.asarray(qe_np, d)
 
@@ -968,24 +1027,14 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
     a forward-only entry with NO custom VJP — do not differentiate
     through it; eval never needs to.
     """
-    use_zoneout = hp.decoder_regularization == "zoneout"
-    zo_h = float(hp.zoneout_hidden) if use_zoneout else float(hp.dropout_hidden)
-    zo_c = float(hp.zoneout_cell) if use_zoneout else 0.0
-
     def decode(cell_params, memory, memory_transform, mask, shifted,
                teacher, rng):
         b, t_len, mem_dim = memory.shape
         att_dim = memory_transform.shape[-1]
         frames = shifted.shape[1]
-        cfg = _Cfg(
-            t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
-            hidden=int(hp.decoder_dimension), mmel=int(hp.num_mels),
-            prenet_dim=int(hp.prenet_dimension),
-            dropout_rate=float(hp.dropout),
-            zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
-            dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
-            train=train,
-        )
+        cfg = _make_cfg(hp, t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
+                        dtype=dtype, fwd_chunk=fwd_chunk,
+                        bwd_chunk=bwd_chunk, train=train)
         core = make_core(cfg, interpret=interpret)
 
         # differentiable operand construction (f32; cast inside the core)
