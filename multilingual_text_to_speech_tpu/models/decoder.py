@@ -275,22 +275,48 @@ class Decoder(nn.Module):
                 train=self.train,
             )
             cell_params = self.variables["params"]["cell"]
-            if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
-                # data-parallel: each shard runs the kernel on its local
-                # batch; shard_map's transpose psums the replicated-in
+            if self.mesh is not None and self.mesh.size > 1:
+                # the XLA SPMD partitioner cannot shard the Pallas custom
+                # call by itself, so the decode runs per-shard via
+                # shard_map; shard_map's transpose psums the replicated-in
                 # parameter cotangents (the DP gradient all-reduce)
                 from jax.sharding import PartitionSpec as P
 
-                def sharded(cp, mem, mt_, msk, shf, tch, key):
-                    key = jax.random.fold_in(
-                        key, jax.lax.axis_index("data"))
-                    return decode(cp, mem, mt_, msk, shf, tch, key)
+                mp = self.mesh.shape.get("model", 1)
+                if b % self.mesh.size == 0:
+                    # batch divides the WHOLE mesh: flatten (data, model)
+                    # into one data-parallel axis — the model-axis devices
+                    # do useful decode work instead of idling/duplicating,
+                    # and the transpose's psum over both axes IS the DP
+                    # gradient reduction
+                    axes = ("data", "model")
+
+                    def sharded(cp, mem, mt_, msk, shf, tch, key):
+                        idx = (jax.lax.axis_index("data") * mp
+                               + jax.lax.axis_index("model"))
+                        key = jax.random.fold_in(key, idx)
+                        return decode(cp, mem, mt_, msk, shf, tch, key)
+                else:
+                    # batch divides only the data axis: every model-axis
+                    # device recomputes its data-shard's decode with
+                    # IDENTICAL rng (outputs replicated over 'model').
+                    # The transpose delivers each output cotangent to the
+                    # model axis WITHOUT duplication, so the psum'd
+                    # parameter cotangents come out exact — verified
+                    # against single-device autodiff in
+                    # test_shard_map_grad_parity[replicate]
+                    axes = ("data",)
+
+                    def sharded(cp, mem, mt_, msk, shf, tch, key):
+                        key = jax.random.fold_in(
+                            key, jax.lax.axis_index("data"))
+                        return decode(cp, mem, mt_, msk, shf, tch, key)
 
                 fn = jax.shard_map(
                     sharded, mesh=self.mesh,
-                    in_specs=(P(), P("data"), P("data"), P("data"),
-                              P("data"), P(), P()),
-                    out_specs=(P("data"), P("data"), P("data")),
+                    in_specs=(P(), P(axes), P(axes), P(axes),
+                              P(axes), P(), P()),
+                    out_specs=(P(axes), P(axes), P(axes)),
                     check_vma=False,
                 )
                 return fn(cell_params, memory, memory_transform, mask,
@@ -317,6 +343,24 @@ class Decoder(nn.Module):
             jnp.swapaxes(aligns, 0, 1),    # [B, F, T]
         )
 
+    @staticmethod
+    def _mesh_shard_batch(mesh, batch: int) -> int | None:
+        """Per-shard decode batch for the fused kernels on this mesh, or
+        None if the batch fits neither sharding scheme.
+
+        Scheme 1 (preferred): batch divides the whole mesh — flatten
+        (data, model) into one DP axis.  Scheme 2: batch divides only the
+        data axis — model-axis devices replicate their data shard's decode
+        (with gradient rescale).  Otherwise: XLA scan fallback."""
+        if mesh is None or mesh.size == 1:
+            return batch
+        dp = mesh.shape.get("data", 1)
+        if batch % mesh.size == 0:
+            return batch // mesh.size
+        if batch % dp == 0:
+            return batch // dp
+        return None
+
     def _fused_train_interpret(self) -> bool:
         import os
 
@@ -340,19 +384,17 @@ class Decoder(nn.Module):
         force = os.environ.get("MTTS_PALLAS_TRAIN_DECODER", "")
         hp = self.hp_model
         n_dev = len(jax.devices())
-        # single chip, or an explicit pure-DP mesh — then shard_map runs
-        # the kernel per shard (the XLA SPMD partitioner cannot shard the
-        # custom call by itself). "interpret" (a debug/test override) only
-        # relaxes the hardware checks, never the mesh-suitability ones:
-        # a non-divisible batch or a tensor-parallel axis must always fall
-        # back to the XLA scan.
+        # single chip, or an explicit mesh — then shard_map runs the kernel
+        # per shard (the XLA SPMD partitioner cannot shard the custom call
+        # by itself); data-parallel AND tensor-parallel meshes are covered
+        # (see _mesh_shard_batch for the two sharding schemes).
+        # "interpret" (a debug/test override) only relaxes the hardware
+        # checks, never the mesh-suitability ones: a non-divisible batch
+        # must always fall back to the XLA scan.
         if self.mesh is not None:
-            dp = self.mesh.shape.get("data", 1)
-            mesh_ok = (
-                dp == self.mesh.size  # every non-data axis is trivial
-                and batch % dp == 0
-            )
-            shard_batch_size = batch // max(dp, 1)
+            shard_batch_size = self._mesh_shard_batch(self.mesh, batch)
+            mesh_ok = shard_batch_size is not None
+            shard_batch_size = shard_batch_size or batch
         else:
             # plain apply (no sharded inputs): runs on the default device
             mesh_ok = n_dev == 1 or force == "interpret"

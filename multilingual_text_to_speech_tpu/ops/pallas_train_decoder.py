@@ -55,13 +55,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
-    _MAX_MEMORY_LEN,
     _NEG_INF,
     _attention_operands,
     _r128,
     _rand_bits,
     extract_decoder_bundle,
 )
+
+# the TRAIN kernels keep the single A-major attention fold (the serving
+# kernel's T-blocked long-text layout is inference-only), so their coarse
+# text-length bound stays at the single-fold limit; the real gate is the
+# fits_vmem byte model below
+_MAX_MEMORY_LEN = 256
 
 
 def supports(hp) -> bool:

@@ -417,22 +417,34 @@ def test_vmem_fit_gate_flagship_dims():
                          train=False)
 
 
-def test_dp_shard_map_grad_parity(monkeypatch):
-    """ADVICE r2: the data-parallel shard_map route (one kernel per shard,
-    parameter cotangents psum'd by the shard_map transpose, check_vma off)
-    must produce the SAME gradients as the single-device fused path.  A
-    missing or wrong psum of the replicated cell_params cotangents would
-    scale decoder grads by 1/n_shards — caught here on a 4-shard CPU mesh."""
+@pytest.mark.parametrize("mesh_shape,batch,scheme", [
+    ((4, 1), 8, "flatten"),       # pure DP: 2 samples per shard
+    ((2, 2), 8, "flatten"),       # TP mesh, batch divides mesh.size
+    ((2, 2), 6, "replicate"),     # TP mesh, batch divides only 'data'
+])
+def test_shard_map_grad_parity(monkeypatch, mesh_shape, batch, scheme):
+    """The sharded decode routes (kernel per shard; parameter cotangents
+    psum'd by the shard_map transpose, check_vma off) must produce the SAME
+    gradients as the single-device fused path — on pure data-parallel AND
+    tensor-parallel meshes.  A missing/wrong psum (or a wrong replica
+    rescale on the replicate scheme) would scale decoder grads by a
+    shard-count factor — caught here on CPU meshes."""
     from jax.sharding import Mesh
 
     monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
     hp = make_hp()  # deterministic: dropout/zoneout rates all zero
-    model_single, variables, _ = build(hp, batch=8)
-    _, _, args = build(hp, batch=8)  # same seeds => same args
+    model_single, variables, _ = build(hp, batch=batch)
+    _, _, args = build(hp, batch=batch)  # same seeds => same args
     (text, lengths, target, tlen, speakers, languages) = args
 
-    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4, 1),
+    mesh = Mesh(np.asarray(jax.devices()[:mesh_shape[0] * mesh_shape[1]]
+                           ).reshape(*mesh_shape),
                 axis_names=("data", "model"))
+    from multilingual_text_to_speech_tpu.models.decoder import Decoder
+
+    shard = Decoder._mesh_shard_batch(mesh, batch)
+    assert shard == (batch // mesh.size if scheme == "flatten"
+                     else batch // mesh_shape[0])
     model_dp = Tacotron(hp, train=True, mesh=mesh)
 
     def loss_fn(model):
