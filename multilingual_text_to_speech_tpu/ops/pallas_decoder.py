@@ -81,13 +81,40 @@ _WEIGHT_KEYS = (
     "head_w", "head_b",
 )
 
-# the folded attention matmuls materialize [T, A*T] / [A*T, T] operands;
-# above this text length they outgrow their VMEM budget and callers should
-# use the XLA scan instead (see supports_shapes)
-_MAX_MEMORY_LEN = 256
+# Attention-operand layouts by text length:
+# - T <= 256: ONE A-major fold — band [T, A*T], qe [A, A*T], red [A*T, T]
+#   (operands grow with T^2, fine up to 256);
+# - 256 < T <= _MAX_MEMORY_LEN: T-BLOCKED fold with Tb=128 column blocks —
+#   per-block band windows [<=3*Tb, A*Tb] (the location conv is banded:
+#   only |s - t| <= half taps are nonzero, so block j only reads cum
+#   blocks j-1..j+1) plus ONE shared qe [A, A*Tb] / red [A*Tb, Tb];
+#   operands grow with T*Tb instead of T^2.
+# Above _MAX_MEMORY_LEN (or when the VMEM byte model reports no-fit)
+# callers use the XLA scan instead (see supports_shapes/_auto_block_cap).
+_MAX_MEMORY_LEN = 512
+_SINGLE_FOLD_MAX = 256
+_T_BLOCK = 128
 
 _ABLATE = frozenset(
     f for f in os.environ.get("PALLAS_DEC_ABLATE", "").split(",") if f)
+
+
+def _padded_t(t_len: int) -> int:
+    """Internal memory length: blocked layouts pad T to a _T_BLOCK multiple
+    (padded positions are masked to -inf and contribute nothing)."""
+    if t_len <= _SINGLE_FOLD_MAX:
+        return t_len
+    return -(-t_len // _T_BLOCK) * _T_BLOCK
+
+
+def _block_windows(t_len: int, t_block: int):
+    """Static (w0, w1) cum-read windows per column block: the banded
+    location conv (half-width < t_block) only needs blocks j-1..j+1."""
+    n_b = t_len // t_block
+    return [
+        (max(j - 1, 0) * t_block, min(j + 2, n_b) * t_block)
+        for j in range(n_b)
+    ]
 
 
 def supports(hp) -> bool:
@@ -200,11 +227,15 @@ def _largest_block(b: int, cap: int) -> int:
 
 
 def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
-                  dropout_rate, zoneout_h, zoneout_c, dtype):
+                  dropout_rate, zoneout_h, zoneout_c, dtype, t_block=None):
     keep_rate = 1.0 - dropout_rate
     drop_thresh = np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
     drop_scale = 1.0 / keep_rate if keep_rate > 0.0 else 0.0
     h_pad, m_pad, p_pad = _r128(hidden), _r128(mem_dim), _r128(prenet_dim)
+    t_block = t_block or t_len
+    n_blocks = t_len // t_block
+    windows = _block_windows(t_len, t_block)
+    at_b = att_dim * t_block
 
     def matmul(x, w_ref, prefer=jnp.float32):
         return jax.lax.dot_general(
@@ -213,18 +244,21 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             preferred_element_type=prefer,
         )
 
-    def kernel(seed_ref,
-               mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref,
-               h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
-               ctx_ref, frame_ref, cum_ref,
-               pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
-               att_w_ref, att_b_ref, wq_ref,
-               gen_w_ref, gen_b_ref,
-               head_w_ref, head_b_ref,
-               out_spec_ref, out_stop_ref,
-               o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
-               o_ctx_ref, o_frame_ref, o_cum_ref,
-               att_in_ref, gen_in_ref, head_in_ref):
+    def kernel(*refs):
+        (seed_ref, mem_ref, mt_ref, mask_ref) = refs[:4]
+        band_refs = refs[4:4 + n_blocks]
+        i = 4 + n_blocks
+        (qe_ref, red_ref,
+         h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
+         ctx_ref, frame_ref, cum_ref,
+         pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
+         att_w_ref, att_b_ref, wq_ref,
+         gen_w_ref, gen_b_ref,
+         head_w_ref, head_b_ref,
+         out_spec_ref, out_stop_ref,
+         o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
+         o_ctx_ref, o_frame_ref, o_cum_ref,
+         att_in_ref, gen_in_ref, head_in_ref) = refs[i:]
         seed0 = seed_ref[0, 0].astype(jnp.uint32)
         seed1 = seed_ref[0, 1].astype(jnp.uint32)
 
@@ -295,15 +329,22 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                 o_c_att_ref[:] = zoneout(o_c_att_ref[:], cn, zoneout_c)
             h_att = o_h_att_ref[:]
 
-            # attention energies in the A-major flattened [BB, A*T] layout:
-            # three plain 2-D matmuls (band conv, query broadcast, folded
-            # v-reduction) — no 3-D dots, no im2col
+            # attention energies in the A-major flattened [BB, A*Tb] layout,
+            # per column block: three plain 2-D matmuls (banded-window conv,
+            # query broadcast, folded v-reduction) — no 3-D dots, no im2col.
+            # n_blocks == 1 (T <= 256) is exactly the original single fold.
             if "attention" not in _ABLATE:
                 q = matmul(h_att, wq_ref).astype(dtype)        # [BB, A]
-                loc = matmul(cum, band_ref).astype(dtype)      # [BB, A*T]
-                qt = matmul(q, qe_ref).astype(dtype)           # [BB, A*T]
-                tz = jnp.tanh(loc + qt + mt_ref[:])
-                e = matmul(tz, red_ref) + mask_add             # [BB, T]
+                qt = matmul(q, qe_ref).astype(dtype)           # [BB, A*Tb]
+                parts = []
+                for j, (w0, w1) in enumerate(windows):
+                    loc_j = matmul(
+                        cum[:, w0:w1], band_refs[j]).astype(dtype)
+                    tz = jnp.tanh(
+                        loc_j + qt + mt_ref[:, j * at_b:(j + 1) * at_b])
+                    parts.append(matmul(tz, red_ref))          # [BB, Tb]
+                e = (parts[0] if n_blocks == 1
+                     else jnp.concatenate(parts, axis=1)) + mask_add
             else:
                 e = cum * 0.01 + mask_add
             e = e - jnp.max(e, axis=-1, keepdims=True)
@@ -381,8 +422,58 @@ def _attention_operands(bundle, memory_transform, t_len, att_dim, dtype):
             mt_am.astype(dtype))
 
 
+def _attention_operands_blocked(bundle, memory_transform, t_len, att_dim,
+                                dtype):
+    """T-blocked variant of :func:`_attention_operands` for long texts.
+
+    Column block j covers t in [j*Tb, (j+1)*Tb); its band operand only
+    carries the cum rows of blocks j-1..j+1 (the conv is banded, half-width
+    15 << Tb), so total operand bytes grow with T*Tb, not T^2.  ``qe`` and
+    ``red`` are block-position-independent and shared by all blocks.
+    Returns ``(band_blocks, qe_b, red_b, mt_bm)`` with ``mt_bm`` laid out
+    block-major: ``mt_bm[b, j*(A*Tb) + a*Tb + (t - j*Tb)]``.
+    """
+    tb = _T_BLOCK
+    assert t_len % tb == 0, t_len
+    lc, v, att_bias = bundle["lc"], bundle["v"], bundle["att_bias"]
+    k_size = lc.shape[0]
+    half = (k_size - 1) // 2
+    assert half < tb, "conv half-width must fit one block"
+
+    band_blocks = []
+    for j, (w0, w1) in enumerate(_block_windows(t_len, tb)):
+        s_idx = jnp.arange(w0, w1)[:, None]
+        t_idx = jnp.arange(j * tb, (j + 1) * tb)[None, :]
+        tap = s_idx - t_idx + half
+        valid = (tap >= 0) & (tap < k_size)
+        band_stj = jnp.where(
+            valid[:, :, None],
+            jnp.take(lc, jnp.clip(tap, 0, k_size - 1), axis=0),
+            0.0)                                          # [W, Tb, A]
+        band_blocks.append(
+            jnp.swapaxes(band_stj, 1, 2).reshape(
+                w1 - w0, att_dim * tb).astype(dtype))
+
+    eye_a = jnp.eye(att_dim, dtype=jnp.float32)
+    qe_b = jnp.repeat(eye_a, tb, axis=1)                  # [A, A*Tb]
+    red_b = (v[:, None, None] * jnp.eye(tb, dtype=jnp.float32)[None]
+             ).reshape(att_dim * tb, tb)                  # [A*Tb, Tb]
+
+    mt_b = memory_transform.astype(jnp.float32) + att_bias[None]
+    b = memory_transform.shape[0]
+    n_b = t_len // tb
+    mt_bm = jnp.concatenate([
+        jnp.swapaxes(mt_b[:, j * tb:(j + 1) * tb, :], 1, 2).reshape(
+            b, att_dim * tb)
+        for j in range(n_b)
+    ], axis=1)                                            # [B, n_b*A*Tb]
+
+    return (band_blocks, qe_b.astype(dtype), red_b.astype(dtype),
+            mt_bm.astype(dtype))
+
+
 def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
-                in_widths, interpret):
+                in_widths, interpret, n_blocks=1):
     f32 = jnp.float32
     carry_shapes = (
         jax.ShapeDtypeStruct((bb, hidden), f32),   # h_att
@@ -393,7 +484,7 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
         jax.ShapeDtypeStruct((bb, mmel), f32),     # frame
         jax.ShapeDtypeStruct((bb, t_len), f32),    # cumulative weights
     )
-    n_vmem_in = 13 + len(_WEIGHT_KEYS)
+    n_vmem_in = 12 + n_blocks + len(_WEIGHT_KEYS)
     dtype = in_widths["dtype"]
     return pl.pallas_call(
         kernel,
@@ -421,32 +512,54 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
 
 def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                     chunk, dtype, budget=110 * 1024 * 1024):
-    """Largest batch-block whose kernel fits the VMEM budget.
+    """Largest batch-block whose kernel fits the VMEM budget; 0 = no-fit
+    (the fixed operands alone bust the budget and the caller must take the
+    XLA scan — reaching the kernel anyway is a bug).
 
     Byte model validated on the v5e: weights + the folded attention
-    operands (which grow with T^2) are block-independent; memory,
-    transform, outputs and concat scratch scale per row.  At T=128 this
-    admits a single 240-row block (measured +4% over two 120-row blocks);
-    at T=256 the [T, A*T] operands force ~64-row blocks."""
+    operands are batch-block-independent; memory, transform, outputs and
+    concat scratch scale per row.  ``t_len`` is the PADDED length; above
+    _SINGLE_FOLD_MAX the T-blocked layout's operands (banded windows +
+    shared qe/red) grow with T*Tb instead of T^2.  At T=128 this admits a
+    single 240-row block (measured +4% over two 120-row blocks); at T=256
+    the [T, A*T] operands force ~64-row blocks."""
     esize = 2 if dtype == jnp.bfloat16 else 4
     at = att_dim * t_len
     p_pad, m_pad, h_pad = _r128(prenet_dim), _r128(mem_dim), _r128(hidden)
     att_in = p_pad + m_pad + h_pad
     gen_in = h_pad + m_pad + h_pad
     head_in = h_pad + m_pad
+    if t_len <= _SINGLE_FOLD_MAX:
+        att_operands = t_len * at + att_dim * at + at * t_len  # band, qe, red
+    else:
+        tb = _T_BLOCK
+        at_b = att_dim * tb
+        band_rows = sum(w1 - w0 for w0, w1 in _block_windows(t_len, tb))
+        att_operands = band_rows * at_b + att_dim * at_b + at_b * tb
     fixed = esize * (
         att_in * 4 * hidden + gen_in * 4 * hidden + head_in * (mmel + 1)
         + mmel * prenet_dim + prenet_dim * prenet_dim + hidden * att_dim
-        + t_len * at + att_dim * at + at * t_len   # band, qe, red
+        + att_operands
     )
     per_row = (
-        esize * (t_len * m_pad + at                 # memory, mt_am
+        esize * (t_len * m_pad + at                 # memory, mt layout
                  + att_in + gen_in + head_in)       # concat scratch
         + 4 * chunk * (_r128(mmel) + 1)             # spec/stop outputs
         + 4 * (4 * hidden + mem_dim + t_len + mmel + t_len)  # carries, mask
     )
-    cap = max(int((budget - fixed) // max(per_row, 1)), 8)
+    cap = int((budget - fixed) // max(per_row, 1))
+    if cap < 8:
+        return 0  # no-fit sentinel: callers must fall back to the XLA scan
     return min(cap, 256)
+
+
+def fits_vmem(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, chunk,
+              dtype) -> bool:
+    """True if the serving kernel fits VMEM at these dims (with at least an
+    8-row batch block).  The Synthesizer checks this alongside
+    ``supports_shapes`` before routing a decode to the fused path."""
+    return _auto_block_cap(_padded_t(t_len), mem_dim, att_dim, hidden, mmel,
+                           prenet_dim, chunk, dtype) >= 8
 
 
 def fused_decode_chunk(
@@ -470,13 +583,27 @@ def fused_decode_chunk(
     same carry pytree structure the XLA scan path uses, so chunks can be
     chained across either implementation.
     """
-    b, t_len, mem_dim = memory.shape
+    b, t_in, mem_dim = memory.shape
     att_dim = memory_transform.shape[-1]
     hidden = carry["h_att"].shape[-1]
     mmel = carry["frame"].shape[-1]
     prenet_dim = int(bundle["pre_w0"].shape[-1])
     steps = int(chunk_frames)
     dtype = bundle["att_w"].dtype
+
+    # long texts run the T-blocked layout, which needs T % _T_BLOCK == 0:
+    # pad the memory axis (padded positions masked to -inf, contribute 0)
+    t_len = _padded_t(t_in)
+    cum_in = carry["att_state"]["weights"]
+    if t_len != t_in:
+        pad = ((0, 0), (0, t_len - t_in))
+        memory = jnp.pad(memory, pad + ((0, 0),))
+        memory_transform = jnp.pad(memory_transform, pad + ((0, 0),))
+        mask = jnp.pad(mask, pad)                     # False => masked out
+        cum_in = jnp.pad(cum_in, pad)
+    t_block = t_len if t_len <= _SINGLE_FOLD_MAX else _T_BLOCK
+    n_t_blocks = t_len // t_block
+
     if block_cap is None:
         try:
             env_cap = int(os.environ.get("MTTS_PALLAS_BLOCK_CAP", ""))
@@ -485,12 +612,18 @@ def fused_decode_chunk(
         # non-positive/unset/garbage -> the VMEM-model auto size
         block_cap = env_cap if env_cap > 0 else _auto_block_cap(
             t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype)
+    if block_cap < 1:
+        raise ValueError(
+            f"fused serving decoder does not fit VMEM at t_len={t_len}, "
+            f"hidden={hidden}, att={att_dim}; callers must gate on "
+            "pallas_decoder.fits_vmem()")
     bb = _largest_block(b, block_cap)
     n_blocks = b // bb
 
     kernel = _build_kernel(
         steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
-        float(dropout_rate), float(zoneout_h), float(zoneout_c), dtype)
+        float(dropout_rate), float(zoneout_h), float(zoneout_c), dtype,
+        t_block=t_block)
     in_widths = {
         "att": int(bundle["att_w"].shape[0]),
         "gen": int(bundle["gen_w"].shape[0]),
@@ -498,18 +631,24 @@ def fused_decode_chunk(
         "dtype": dtype,
     }
     call = _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel,
-                       att_dim, in_widths, interpret)
+                       att_dim, in_widths, interpret, n_blocks=n_t_blocks)
 
     mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
     seeds = jax.lax.bitcast_convert_type(
         jax.random.bits(rng, (n_blocks, 1, 2), jnp.uint32), jnp.int32)
     weights = tuple(bundle[k] for k in _WEIGHT_KEYS)
-    band, qe, red, mt_am = _attention_operands(
-        bundle, memory_transform, t_len, att_dim, dtype)
+    if n_t_blocks == 1:
+        band, qe, red, mt_am = _attention_operands(
+            bundle, memory_transform, t_len, att_dim, dtype)
+        bands = (band,)
+    else:
+        band_blocks, qe, red, mt_am = _attention_operands_blocked(
+            bundle, memory_transform, t_len, att_dim, dtype)
+        bands = tuple(band_blocks)
 
     carry_in = (
         carry["h_att"], carry["c_att"], carry["h_gen"], carry["c_gen"],
-        carry["context"], carry["frame"], carry["att_state"]["weights"],
+        carry["context"], carry["frame"], cum_in,
     )
 
     specs, stops, carry_blocks = [], [], []
@@ -518,7 +657,7 @@ def fused_decode_chunk(
         out = call(
             seeds[i],
             memory[sl].astype(dtype), mt_am[sl], mask_add[sl],
-            band, qe, red,
+            *bands, qe, red,
             *(c[sl] for c in carry_in),
             *weights,
         )
@@ -534,7 +673,7 @@ def fused_decode_chunk(
         "h_att": merged[0], "c_att": merged[1],
         "h_gen": merged[2], "c_gen": merged[3],
         "context": merged[4], "frame": merged[5],
-        "att_state": {"weights": merged[6]},
+        "att_state": {"weights": merged[6][:, :t_in]},
     }
     return new_carry, (spec, stop)
 

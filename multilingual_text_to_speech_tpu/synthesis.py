@@ -18,6 +18,7 @@ encoders are padding-invariant thanks to per-layer length masking).
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import List, Optional, Tuple
 
@@ -162,11 +163,27 @@ class Synthesizer:
             return fused(carry, memory, mt, mask, rng,
                          chunk_frames=chunk_frames)
 
+        warned: set = set()
+
         def decode(variables, carry, memory, mt, mask, rng,
                    chunk_frames=self.chunk):
             # very long texts outgrow the kernel's VMEM-resident attention
-            # operands — fall back to the XLA scan for those shapes
-            if not pallas_decoder.supports_shapes(memory.shape[1]):
+            # operands (>512 bucketed symbols, or whatever the VMEM byte
+            # model reports for these dims) — fall back to the XLA scan
+            t_len = memory.shape[1]
+            ok = pallas_decoder.supports_shapes(t_len) and (
+                pallas_decoder.fits_vmem(
+                    t_len, memory.shape[-1], mt.shape[-1],
+                    carry["h_att"].shape[-1], carry["frame"].shape[-1],
+                    int(self.hp.prenet_dimension), chunk_frames,
+                    compute_dtype))
+            if not ok:
+                if t_len not in warned:  # log once per text-length bucket
+                    warned.add(t_len)
+                    logging.warning(
+                        "text length %d exceeds the fused decoder's VMEM "
+                        "budget; decoding on the (slower) XLA scan path",
+                        t_len)
                 return xla_decode(variables, carry, memory, mt, mask, rng,
                                   chunk_frames=chunk_frames)
             return fused_decode(variables, carry, memory, mt, mask, rng,

@@ -178,3 +178,70 @@ def test_supports_gates_unsupported_configs():
     assert supports(hp)
     hp.attention_type = "forward"
     assert not supports(hp)
+
+
+def test_fused_blocked_long_text_matches_xla_scan():
+    """Texts past the single-fold limit (256) take the T-BLOCKED attention
+    layout (Tb=128 column blocks, banded cum windows, shared qe/red) with
+    internal padding to a block multiple: parity vs the XLA scan at
+    t_len=300 (padded to 384, 3 blocks), carry sliced back to 300."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        batch=4, text_len=300)
+    rng = jax.random.PRNGKey(7)
+    chunk = 4
+
+    carry_x, (spec_x, stop_x) = dec_xla(variables, carry, memory, mt, mask,
+                                        rng, chunk_frames=chunk)
+    carry_p, (spec_p, stop_p) = _fused(hp, variables, carry, memory, mt,
+                                       mask, rng, chunk=chunk)
+
+    np.testing.assert_allclose(spec_p, spec_x, atol=5e-5)
+    np.testing.assert_allclose(stop_p, stop_x, atol=5e-5)
+    assert carry_p["att_state"]["weights"].shape == (4, 300)
+    np.testing.assert_allclose(carry_p["att_state"]["weights"],
+                               carry_x["att_state"]["weights"], atol=5e-5)
+    # padded positions must receive (essentially) no attention mass
+    np.testing.assert_allclose(
+        np.asarray(carry_p["att_state"]["weights"]).sum(-1), chunk, rtol=1e-4)
+
+
+def test_fused_blocked_t512_supported():
+    """supports_shapes admits 512 and the blocked kernel stays exact there
+    (chaining through the carry like the serving driver does)."""
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder as pd
+
+    assert pd.supports_shapes(512)
+    assert not pd.supports_shapes(513)
+
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        batch=2, text_len=512)
+    rng = jax.random.PRNGKey(11)
+    carry_x, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask, rng,
+                                   chunk_frames=3)
+    carry_p, (spec_p, _) = _fused(hp, variables, carry, memory, mt, mask,
+                                  rng, chunk=3)
+    np.testing.assert_allclose(spec_p, spec_x, atol=5e-5)
+    _, (spec_x2, _) = dec_xla(variables, carry_x, memory, mt, mask, rng,
+                              chunk_frames=2)
+    _, (spec_p2, _) = _fused(hp, variables, carry_p, memory, mt, mask, rng,
+                             chunk=2)
+    np.testing.assert_allclose(spec_p2, spec_x2, atol=2e-4)
+
+
+def test_vmem_cap_no_fit_sentinel():
+    """ADVICE r2: _auto_block_cap reports no-fit (0) instead of clamping to
+    8 rows when the fixed operands alone bust the budget; fits_vmem gates
+    and fused_decode_chunk raises instead of compile-failing in Mosaic."""
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder as pd
+
+    # serving dims that fit comfortably
+    assert pd.fits_vmem(128, 512, 128, 1024, 80, 256, 64, jnp.bfloat16)
+    # f32 at T=512 with big hidden: fixed operands alone exceed the budget
+    assert pd._auto_block_cap(512, 512, 512, 1024, 80, 256, 64,
+                              jnp.float32) == 0
+    assert not pd.fits_vmem(512, 512, 512, 1024, 80, 256, 64, jnp.float32)
+
+    hp, variables, memory, mt, mask, carry, _ = _setup(batch=2, text_len=24)
+    with pytest.raises(ValueError, match="fits_vmem"):
+        _fused(hp, variables, carry, memory, mt, mask,
+               jax.random.PRNGKey(0), block_cap=0)

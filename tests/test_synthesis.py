@@ -240,7 +240,7 @@ def test_synthesizer_pallas_decoder_wrapper(trained_checkpoint, monkeypatch):
 
     # long text: memory outgrows the kernel's VMEM budget -> the wrapper
     # must route to the XLA scan (pallas_decoder.supports_shapes gate)
-    long_text = " ".join(["hallo welt"] * 30)
+    long_text = " ".join(["hallo welt"] * 60)
     assert len(long_text) > pallas_decoder._MAX_MEMORY_LEN
     long_spec = fused_synth.synthesize_line(f"p2|{long_text}|german|german")
     assert np.isfinite(long_spec).all()
