@@ -31,11 +31,15 @@ Mosaic-shaped design notes (each of these was measured, not guessed):
   attention chain + a 31-shift im2col as live values and drowned in 110 MB
   of register-allocator spill slots.  v3 keeps every big intermediate in
   the compute dtype and in flat 2-D layouts.
-- The location conv is folded (with the location projection and the energy
-  vector) into plain 2-D matmuls in an A-major flattened ``[B, A*T]``
-  layout: ``loc = cum @ Band``, ``q_broadcast = q @ E``, and the energy
-  reduction ``e = tanh(z) @ R`` — all MXU work, no 3-D dots (a 3-D-rhs dot
-  lowers to T separate tiny matmuls) and no im2col shuffling.
+- The location conv (+ location projection) is folded into one plain 2-D
+  matmul in an A-major flattened ``[B, A*T]`` layout: ``loc = cum @ Band``
+  — MXU work, no 3-D dots (a 3-D-rhs dot lowers to T separate tiny
+  matmuls) and no im2col shuffling.  The query broadcast and the
+  v-reduction originally were folded matmuls too (``q @ E``, ``tanh(z) @
+  R``); round-3 ablation showed the stage VMEM-traffic bound on those 4 MB
+  operand streams, so they now run as VPU lane-broadcasts + a pairwise
+  tree sum (76.1 -> 75.0 us/step at T=128; 196.5 -> 177.6 at T=512, where
+  the freed VMEM also buys larger batch blocks).
 - The two fused-gate LSTM matmuls read from concat scratch buffers whose
   segments are 128-lane aligned (weight rows zero-padded to match), so each
   step runs ONE large gate matmul per cell instead of three partial ones.
@@ -82,13 +86,13 @@ _WEIGHT_KEYS = (
 )
 
 # Attention-operand layouts by text length:
-# - T <= 256: ONE A-major fold — band [T, A*T], qe [A, A*T], red [A*T, T]
-#   (operands grow with T^2, fine up to 256);
+# - T <= 256: ONE A-major fold — band [T, A*T] (operands grow with T^2,
+#   fine up to 256);
 # - 256 < T <= _MAX_MEMORY_LEN: T-BLOCKED fold with Tb=128 column blocks —
 #   per-block band windows [<=3*Tb, A*Tb] (the location conv is banded:
 #   only |s - t| <= half taps are nonzero, so block j only reads cum
-#   blocks j-1..j+1) plus ONE shared qe [A, A*Tb] / red [A*Tb, Tb];
-#   operands grow with T*Tb instead of T^2.
+#   blocks j-1..j+1); operands grow with T*Tb instead of T^2.
+# Plus one shared [1, A*Tb] v-scale row for the VPU energy reduction.
 # Above _MAX_MEMORY_LEN (or when the VMEM byte model reports no-fit)
 # callers use the XLA scan instead (see supports_shapes/_auto_block_cap).
 _MAX_MEMORY_LEN = 512
@@ -248,8 +252,9 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         (seed_ref, mem_ref, mt_ref, mask_ref) = refs[:4]
         band_refs = refs[4:4 + n_blocks]
         i = 4 + n_blocks
-        (qe_ref, red_ref,
-         h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
+        (vt_ref,) = refs[i:i + 1]
+        i += 1
+        (h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
          ctx_ref, frame_ref, cum_ref,
          pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
          att_w_ref, att_b_ref, wq_ref,
@@ -330,19 +335,40 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             h_att = o_h_att_ref[:]
 
             # attention energies in the A-major flattened [BB, A*Tb] layout,
-            # per column block: three plain 2-D matmuls (banded-window conv,
-            # query broadcast, folded v-reduction) — no 3-D dots, no im2col.
-            # n_blocks == 1 (T <= 256) is exactly the original single fold.
+            # per column block — no 3-D dots, no im2col.  Round-3 ablation
+            # showed the stage VMEM-traffic bound, so the query broadcast
+            # and the v-reduction run on the VPU (lane broadcasts + a
+            # pairwise tree over the A chunks) instead of streaming 4 MB
+            # qe/red matmul operands per step: measured 76.1 -> 75.0
+            # us/step at T=128 and 196.5 -> 177.6 at T=512 (the freed VMEM
+            # also buys larger batch blocks).  Only the banded location
+            # conv keeps its MXU fold.  n_blocks == 1 covers T <= 256.
             if "attention" not in _ABLATE:
                 q = matmul(h_att, wq_ref).astype(dtype)        # [BB, A]
-                qt = matmul(q, qe_ref).astype(dtype)           # [BB, A*Tb]
+                # lane-broadcast each q[:, a] over its Tb-lane chunk
+                # (2-D ops only: Mosaic cannot lower a 3-D reshape)
+                qt = jnp.concatenate(
+                    [jnp.broadcast_to(q[:, a:a + 1],
+                                      (q.shape[0], t_block))
+                     for a in range(att_dim)], axis=1)
                 parts = []
                 for j, (w0, w1) in enumerate(windows):
                     loc_j = matmul(
                         cum[:, w0:w1], band_refs[j]).astype(dtype)
                     tz = jnp.tanh(
                         loc_j + qt + mt_ref[:, j * at_b:(j + 1) * at_b])
-                    parts.append(matmul(tz, red_ref))          # [BB, Tb]
+                    # e_j[b, t] = sum_a v[a] * tz[b, a*Tb + t]:
+                    # v-scale then pairwise tree over the A chunks (f32)
+                    tzv = tz.astype(jnp.float32) * vt_ref[:]
+                    chunks = [tzv[:, k * t_block:(k + 1) * t_block]
+                              for k in range(att_dim)]
+                    while len(chunks) > 1:
+                        nxt = [chunks[k] + chunks[k + 1]
+                               for k in range(0, len(chunks) - 1, 2)]
+                        if len(chunks) % 2:
+                            nxt[-1] = nxt[-1] + chunks[-1]
+                        chunks = nxt
+                    parts.append(chunks[0])
                 e = (parts[0] if n_blocks == 1
                      else jnp.concatenate(parts, axis=1)) + mask_add
             else:
@@ -422,54 +448,57 @@ def _attention_operands(bundle, memory_transform, t_len, att_dim, dtype):
             mt_am.astype(dtype))
 
 
-def _attention_operands_blocked(bundle, memory_transform, t_len, att_dim,
-                                dtype):
-    """T-blocked variant of :func:`_attention_operands` for long texts.
-
-    Column block j covers t in [j*Tb, (j+1)*Tb); its band operand only
-    carries the cum rows of blocks j-1..j+1 (the conv is banded, half-width
-    15 << Tb), so total operand bytes grow with T*Tb, not T^2.  ``qe`` and
-    ``red`` are block-position-independent and shared by all blocks.
-    Returns ``(band_blocks, qe_b, red_b, mt_bm)`` with ``mt_bm`` laid out
-    block-major: ``mt_bm[b, j*(A*Tb) + a*Tb + (t - j*Tb)]``.
-    """
-    tb = _T_BLOCK
-    assert t_len % tb == 0, t_len
-    lc, v, att_bias = bundle["lc"], bundle["v"], bundle["att_bias"]
+def _band_blocks(bundle, t_len, att_dim, t_block, dtype):
+    """Banded-window location-conv operands, one per column block (a single
+    [(0, T)] window when t_block == t_len — the T<=256 single fold)."""
+    lc = bundle["lc"]
     k_size = lc.shape[0]
     half = (k_size - 1) // 2
-    assert half < tb, "conv half-width must fit one block"
-
-    band_blocks = []
-    for j, (w0, w1) in enumerate(_block_windows(t_len, tb)):
+    assert t_len % t_block == 0, (t_len, t_block)
+    assert half < t_block, "conv half-width must fit one block"
+    blocks = []
+    for j, (w0, w1) in enumerate(_block_windows(t_len, t_block)):
         s_idx = jnp.arange(w0, w1)[:, None]
-        t_idx = jnp.arange(j * tb, (j + 1) * tb)[None, :]
+        t_idx = jnp.arange(j * t_block, (j + 1) * t_block)[None, :]
         tap = s_idx - t_idx + half
         valid = (tap >= 0) & (tap < k_size)
         band_stj = jnp.where(
             valid[:, :, None],
             jnp.take(lc, jnp.clip(tap, 0, k_size - 1), axis=0),
             0.0)                                          # [W, Tb, A]
-        band_blocks.append(
+        blocks.append(
             jnp.swapaxes(band_stj, 1, 2).reshape(
-                w1 - w0, att_dim * tb).astype(dtype))
+                w1 - w0, att_dim * t_block).astype(dtype))
+    return blocks
 
-    eye_a = jnp.eye(att_dim, dtype=jnp.float32)
-    qe_b = jnp.repeat(eye_a, tb, axis=1)                  # [A, A*Tb]
-    red_b = (v[:, None, None] * jnp.eye(tb, dtype=jnp.float32)[None]
-             ).reshape(att_dim * tb, tb)                  # [A*Tb, Tb]
 
-    mt_b = memory_transform.astype(jnp.float32) + att_bias[None]
+def _mt_operand(bundle, memory_transform, t_len, att_dim, t_block, dtype):
+    """Pre-biased memory transform in the kernel's block-major A-flattened
+    layout: ``mt[b, j*(A*Tb) + a*Tb + (t - j*Tb)]`` (one block when
+    t_block == t_len).  Batch-dependent — built per call, unlike the
+    static operands."""
+    mt_b = memory_transform.astype(jnp.float32) + bundle["att_bias"][None]
     b = memory_transform.shape[0]
-    n_b = t_len // tb
-    mt_bm = jnp.concatenate([
-        jnp.swapaxes(mt_b[:, j * tb:(j + 1) * tb, :], 1, 2).reshape(
-            b, att_dim * tb)
+    if t_block == t_len:
+        return jnp.swapaxes(mt_b, 1, 2).reshape(
+            b, att_dim * t_len).astype(dtype)
+    n_b = t_len // t_block
+    return jnp.concatenate([
+        jnp.swapaxes(mt_b[:, j * t_block:(j + 1) * t_block, :], 1, 2).reshape(
+            b, att_dim * t_block)
         for j in range(n_b)
-    ], axis=1)                                            # [B, n_b*A*Tb]
+    ], axis=1).astype(dtype)
 
-    return (band_blocks, qe_b.astype(dtype), red_b.astype(dtype),
-            mt_bm.astype(dtype))
+
+def _static_energy_operands(bundle, t_len, att_dim, dtype, t_block):
+    """The batch-INDEPENDENT energy operands for one padded t_len: the
+    banded location-conv windows plus the v-scale row ``vt[0, a*Tb + t] =
+    v[a]``.  Pure functions of the decoder weights — ``make_decode_fn``
+    computes them once per text-length bucket instead of re-deriving them
+    inside every decode-chunk call."""
+    bands = tuple(_band_blocks(bundle, t_len, att_dim, t_block, dtype))
+    vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_block)[None, :]
+    return bands, (vt,)
 
 
 def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
@@ -484,7 +513,7 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
         jax.ShapeDtypeStruct((bb, mmel), f32),     # frame
         jax.ShapeDtypeStruct((bb, t_len), f32),    # cumulative weights
     )
-    n_vmem_in = 12 + n_blocks + len(_WEIGHT_KEYS)
+    n_vmem_in = 11 + n_blocks + len(_WEIGHT_KEYS)  # ops incl. vt, carries
     dtype = in_widths["dtype"]
     return pl.pallas_call(
         kernel,
@@ -530,12 +559,14 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
     gen_in = h_pad + m_pad + h_pad
     head_in = h_pad + m_pad
     if t_len <= _SINGLE_FOLD_MAX:
-        att_operands = t_len * at + att_dim * at + at * t_len  # band, qe, red
+        tb = t_len
+        at_b = at
+        band_rows = t_len
     else:
         tb = _T_BLOCK
         at_b = att_dim * tb
         band_rows = sum(w1 - w0 for w0, w1 in _block_windows(t_len, tb))
-        att_operands = band_rows * at_b + att_dim * at_b + at_b * tb
+    att_operands = band_rows * at_b + 2 * at_b  # band windows + vt (f32 row)
     fixed = esize * (
         att_in * 4 * hidden + gen_in * 4 * hidden + head_in * (mmel + 1)
         + mmel * prenet_dim + prenet_dim * prenet_dim + hidden * att_dim
@@ -576,6 +607,7 @@ def fused_decode_chunk(
     zoneout_c: float,
     block_cap: Optional[int] = None,  # None = VMEM-model auto
     interpret: bool = False,
+    static_ops=None,                  # precomputed _static_energy_operands
 ) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Drop-in replacement for ``Decoder.decode_chunk`` (inference mode).
 
@@ -637,14 +669,12 @@ def fused_decode_chunk(
     seeds = jax.lax.bitcast_convert_type(
         jax.random.bits(rng, (n_blocks, 1, 2), jnp.uint32), jnp.int32)
     weights = tuple(bundle[k] for k in _WEIGHT_KEYS)
-    if n_t_blocks == 1:
-        band, qe, red, mt_am = _attention_operands(
-            bundle, memory_transform, t_len, att_dim, dtype)
-        bands = (band,)
-    else:
-        band_blocks, qe, red, mt_am = _attention_operands_blocked(
-            bundle, memory_transform, t_len, att_dim, dtype)
-        bands = tuple(band_blocks)
+    if static_ops is None:
+        static_ops = _static_energy_operands(
+            bundle, t_len, att_dim, dtype, t_block)
+    bands, att_ops = static_ops
+    mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim, t_block,
+                        dtype)
 
     carry_in = (
         carry["h_att"], carry["c_att"], carry["h_gen"], carry["c_gen"],
@@ -657,7 +687,7 @@ def fused_decode_chunk(
         out = call(
             seeds[i],
             memory[sl].astype(dtype), mt_am[sl], mask_add[sl],
-            *bands, qe, red,
+            *bands, *att_ops,
             *(c[sl] for c in carry_in),
             *weights,
         )
@@ -692,11 +722,21 @@ def make_decode_fn(hp, variables, compute_dtype=jnp.bfloat16,
         interpret=interpret,
     )
     chunk = int(getattr(hp, "decode_chunk_frames", 64))
+    att_dim = int(hp.attention_dimension)
+    static_cache = {}
 
     def decode_chunk(carry, memory, memory_transform, mask, rng,
                      chunk_frames=chunk):
+        # the weight-derived energy operands depend only on the (padded)
+        # text-length bucket: build them once per bucket, not in every
+        # traced chunk call (under jit they become baked-in constants)
+        t_pad = _padded_t(memory.shape[1])
+        t_block = t_pad if t_pad <= _SINGLE_FOLD_MAX else _T_BLOCK
+        if t_pad not in static_cache:
+            static_cache[t_pad] = _static_energy_operands(
+                bundle, t_pad, att_dim, compute_dtype, t_block)
         return fused_decode_chunk(
             bundle, carry, memory, memory_transform, mask, rng,
-            chunk_frames, **kwargs)
+            chunk_frames, static_ops=static_cache[t_pad], **kwargs)
 
     return decode_chunk
