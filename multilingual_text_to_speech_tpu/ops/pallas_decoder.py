@@ -155,6 +155,28 @@ def _r128(n: int) -> int:
     return -(-n // _LANES) * _LANES
 
 
+def _q_broadcast(q, t_block: int, att_dim: int):
+    """Lane-broadcast each q[:, a] over its Tb-lane chunk of the A-major
+    flattened layout (2-D ops only: Mosaic cannot lower 3-D reshapes)."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(q[:, a:a + 1], (q.shape[0], t_block))
+         for a in range(att_dim)], axis=1)
+
+
+def _chunk_tree_sum(x, width: int):
+    """Pairwise-tree sum of the ``width``-lane chunks of ``x`` along axis 1
+    — the VPU energy reduction e[b, t] = sum_a (v * tanh(z))[b, a*Tb + t]."""
+    chunks = [x[:, k * width:(k + 1) * width]
+              for k in range(x.shape[1] // width)]
+    while len(chunks) > 1:
+        nxt = [chunks[k] + chunks[k + 1]
+               for k in range(0, len(chunks) - 1, 2)]
+        if len(chunks) % 2:
+            nxt[-1] = nxt[-1] + chunks[-1]
+        chunks = nxt
+    return chunks[0]
+
+
 def _pad_rows(kernel_mat, segments):
     """Zero-pad weight rows so each input segment starts on a 128-lane
     boundary of the concat scratch buffer (aligned vector stores)."""
@@ -345,30 +367,16 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             # conv keeps its MXU fold.  n_blocks == 1 covers T <= 256.
             if "attention" not in _ABLATE:
                 q = matmul(h_att, wq_ref).astype(dtype)        # [BB, A]
-                # lane-broadcast each q[:, a] over its Tb-lane chunk
-                # (2-D ops only: Mosaic cannot lower a 3-D reshape)
-                qt = jnp.concatenate(
-                    [jnp.broadcast_to(q[:, a:a + 1],
-                                      (q.shape[0], t_block))
-                     for a in range(att_dim)], axis=1)
+                qt = _q_broadcast(q, t_block, att_dim)
                 parts = []
                 for j, (w0, w1) in enumerate(windows):
                     loc_j = matmul(
                         cum[:, w0:w1], band_refs[j]).astype(dtype)
                     tz = jnp.tanh(
                         loc_j + qt + mt_ref[:, j * at_b:(j + 1) * at_b])
-                    # e_j[b, t] = sum_a v[a] * tz[b, a*Tb + t]:
-                    # v-scale then pairwise tree over the A chunks (f32)
-                    tzv = tz.astype(jnp.float32) * vt_ref[:]
-                    chunks = [tzv[:, k * t_block:(k + 1) * t_block]
-                              for k in range(att_dim)]
-                    while len(chunks) > 1:
-                        nxt = [chunks[k] + chunks[k + 1]
-                               for k in range(0, len(chunks) - 1, 2)]
-                        if len(chunks) % 2:
-                            nxt[-1] = nxt[-1] + chunks[-1]
-                        chunks = nxt
-                    parts.append(chunks[0])
+                    # e_j[b, t] = sum_a v[a] * tz[b, a*Tb + t] (f32 tree)
+                    parts.append(_chunk_tree_sum(
+                        tz.astype(jnp.float32) * vt_ref[:], t_block))
                 e = (parts[0] if n_blocks == 1
                      else jnp.concatenate(parts, axis=1)) + mask_add
             else:
@@ -405,47 +413,6 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         jax.lax.fori_loop(0, steps, step, 0)
 
     return kernel
-
-
-def _attention_operands(bundle, memory_transform, t_len, att_dim, dtype):
-    """Fold the linear pieces of location-sensitive attention into plain
-    2-D matmul operands for the A-major flattened [B, A*T] energy layout.
-
-    - band[s, a*T + t] = lc[s - t + half, a]:  ``cum @ band`` is the k-tap
-      'same' location conv + projection (conv out[t] = sum_k lc[k] *
-      cum[t + k - half], so cum[s] contributes with tap k = s - t + half).
-    - qe[a', a*T + t] = 1 if a' == a:          ``q @ qe`` broadcasts the
-      projected query over every timestep.
-    - red[a*T + t, t'] = v[a] if t == t':      ``tanh(z) @ red`` applies the
-      energy vector and reduces over A in one matmul.
-    - the energy bias is added into the (transposed) memory transform.
-    """
-    lc, v, att_bias = bundle["lc"], bundle["v"], bundle["att_bias"]
-    k_size = lc.shape[0]
-    half = (k_size - 1) // 2
-    s_idx = jnp.arange(t_len)[:, None]
-    t_idx = jnp.arange(t_len)[None, :]
-    tap = s_idx - t_idx + half
-    valid = (tap >= 0) & (tap < k_size)
-    band_sta = jnp.where(
-        valid[:, :, None],
-        jnp.take(lc, jnp.clip(tap, 0, k_size - 1), axis=0),
-        0.0)                                                  # [T(s), T(t), A]
-    band = jnp.swapaxes(band_sta, 1, 2).reshape(t_len, att_dim * t_len)
-
-    eye_a = jnp.eye(att_dim, dtype=jnp.float32)
-    qe = jnp.repeat(eye_a, t_len, axis=1)                     # [A, A*T]
-
-    red = (v[:, None, None] * jnp.eye(t_len, dtype=jnp.float32)[None]
-           ).reshape(att_dim * t_len, t_len)                  # [A*T, T]
-
-    # mt transposed to A-major and pre-biased: mt_am[b, a*T + t]
-    mt_b = memory_transform.astype(jnp.float32) + att_bias[None]
-    b = memory_transform.shape[0]
-    mt_am = jnp.swapaxes(mt_b, 1, 2).reshape(b, att_dim * t_len)
-
-    return (band.astype(dtype), qe.astype(dtype), red.astype(dtype),
-            mt_am.astype(dtype))
 
 
 def _band_blocks(bundle, t_len, att_dim, t_block, dtype):

@@ -56,7 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
     _NEG_INF,
-    _attention_operands,
+    _band_blocks,
+    _chunk_tree_sum,
+    _mt_operand,
+    _q_broadcast,
     _r128,
     _rand_bits,
     extract_decoder_bundle,
@@ -198,15 +201,15 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
     dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
 
     def kernel(*refs):
-        # inputs: 2 SMEM + 7 broadcast/chunk + 7 carry + 11 weights
+        # inputs: 2 SMEM + 6 broadcast/chunk + 7 carry + 11 weights
         (ctrl_ref, teacher_ref,
-         mem_ref, mt_ref, mask_ref, band_ref, qe_ref, red_ref, shifted_ref,
+         mem_ref, mt_ref, mask_ref, band_ref, vt_ref, shifted_ref,
          h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
          ctx0_ref, frame0_ref, cum0_ref,
          pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
          att_w_ref, att_b_ref, wq_ref,
-         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = refs[:27]
-        out = refs[27:]
+         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = refs[:26]
+        out = refs[26:]
         spec_ref, stop_ref, w_ref = out[:3]
         if cfg.train:
             # residual streams only exist in training mode — the eval/GTA
@@ -316,14 +319,18 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 r_h_att_ref[s] = h_att.astype(d)
                 r_c_att_ref[s] = c_att.astype(d)
 
-            # location-sensitive attention (A-major folded layout)
+            # location-sensitive attention (A-major folded layout; the
+            # query broadcast and v-reduction run on the VPU like the
+            # serving kernel — round-3 ablation showed the matmul folds
+            # VMEM-traffic bound on their qe/red operand streams)
             if cfg.train:
                 r_cum_ref[s] = cum.astype(d)  # cum BEFORE this step's update
             q = _matmul(h_att, wq_ref, d).astype(d)
             loc = _matmul(cum, band_ref, d).astype(d)
-            qt = _matmul(q, qe_ref, d).astype(d)
+            qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
             tz = jnp.tanh(loc + qt + mt_ref[:])
-            e = _matmul(tz, red_ref, d) + mask_add
+            e = _chunk_tree_sum(
+                tz.astype(jnp.float32) * vt_ref[:], cfg.t_len) + mask_add
             e = e - jnp.max(e, axis=-1, keepdims=True)
             p = jnp.exp(e)
             w = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -391,7 +398,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
 
     def kernel(ctrl_ref, teacher_ref,
                # broadcast operands
-               mem_ref, mt_ref, band_ref, qe_ref, red_ref,
+               mem_ref, mt_ref, band_ref, vt_ref,
                # weights (transpose-matmuls only; no gate recompute)
                pre_w0_ref, pre_w1_ref,
                att_w_ref, wq_ref, gen_w_ref, head_w_ref,
@@ -410,7 +417,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                dg_att_ref, dg_gen_ref, da_frame_ref,
                da1_ref, da2_ref, dctx_out_ref, dshift_ref,
                # outputs: f32 accumulators (summed over chunks outside)
-               dmt_acc_ref, dband_acc_ref, dred_acc_ref, dwq_acc_ref,
+               dmt_acc_ref, dband_acc_ref, dvt_acc_ref, dwq_acc_ref,
                # outputs: outgoing cotangent carry
                o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
                o_dctx_ref, o_dcum_ref, o_dframe_ref):
@@ -427,7 +434,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
         o_dframe_ref[:] = i_dframe_ref[:]
         dmt_acc_ref[:] = jnp.zeros_like(dmt_acc_ref)
         dband_acc_ref[:] = jnp.zeros_like(dband_acc_ref)
-        dred_acc_ref[:] = jnp.zeros_like(dred_acc_ref)
+        dvt_acc_ref[:] = jnp.zeros_like(dvt_acc_ref)
         dwq_acc_ref[:] = jnp.zeros_like(dwq_acc_ref)
 
         def masks(shape, gs, salt):
@@ -529,23 +536,29 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                   + jnp.sum(mem_ref[:].astype(jnp.float32)
                             * dctx_tot[:, None, :], axis=2))
             de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
-            # recompute the energy chain
+            # recompute the energy chain (VPU broadcast/reduction — mirrors
+            # the forward; e = sum_a vt * tanh(z), so dtz = tile(de) * vt
+            # and the v-cotangent is a [1, A*T] row, not the old [A*T, T]
+            # dred accumulator)
             q = _matmul(h_att_s, wq_ref, d).astype(d)
             loc = _matmul(cum_s, band_ref, d).astype(d)
-            qt = _matmul(q, qe_ref, d).astype(d)
+            qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
             tz = jnp.tanh(loc + qt + mt_ref[:])
-            dtz = _matmul(de, red_ref, d, contract=(1, 1))
+            de_t = jnp.concatenate([de] * cfg.att_dim, axis=1)  # [B, A*T]
+            dtz = de_t * vt_ref[:]
             dz = dtz * (1.0 - tz.astype(jnp.float32) ** 2)
             dmt_acc_ref[:] += dz
             dband_acc_ref[:] += jax.lax.dot_general(
                 cum_s.astype(d), dz.astype(d),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dred_acc_ref[:] += jax.lax.dot_general(
-                tz, de.astype(d),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dq = _matmul(dz, qe_ref, d, contract=(1, 1))
+            dvt_acc_ref[:] += jnp.sum(
+                tz.astype(jnp.float32) * de_t, axis=0, keepdims=True)
+            # dq[b, a] = sum over the a-th T-lane chunk of dz
+            dq = jnp.concatenate(
+                [jnp.sum(dz[:, a * cfg.t_len:(a + 1) * cfg.t_len],
+                         axis=1, keepdims=True)
+                 for a in range(cfg.att_dim)], axis=1)
             dwq_acc_ref[:] += jax.lax.dot_general(
                 h_att_s.astype(d), dq.astype(d),
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -633,12 +646,13 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         + cfg.head_in * (cfg.mmel + 1)     # head_w
         + cfg.mmel * cfg.prenet_dim + cfg.prenet_dim * cfg.prenet_dim
         + cfg.hidden * a                   # wq
-        + t * at + a * at + at * t         # band, qe, red
+        + t * at                           # band
         + bb * at                          # mt_am
         + bb * t * _r128(cfg.mem_dim)      # memory
-    ) + 4 * bb * (4 * cfg.hidden + cfg.mem_dim + cfg.t_len + cfg.mmel) * 4
+    ) + 4 * at \
+        + 4 * bb * (4 * cfg.hidden + cfg.mem_dim + cfg.t_len + cfg.mmel) * 4
     if backward:
-        fixed += 4 * (bb * at + t * at + at * t + cfg.hidden * a)  # f32 accs
+        fixed += 4 * (bb * at + t * at + at + cfg.hidden * a)  # f32 accs
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
         # residual reads: h_att, c_att, c_gen, cum, x, d1, acts x2
@@ -704,7 +718,7 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, mmel), f32),
         jax.ShapeDtypeStruct((b, t), f32),
     )
-    n_vmem_in = 7 + 7 + len(_WEIGHT_ORDER)  # broadcast+shifted, carry, weights
+    n_vmem_in = 6 + 7 + len(_WEIGHT_ORDER)  # broadcast+shifted, carry, weights
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -738,7 +752,7 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # dshift
         jax.ShapeDtypeStruct((b, a * t), f32),         # dmt_acc
         jax.ShapeDtypeStruct((t, a * t), f32),         # dband_acc
-        jax.ShapeDtypeStruct((a * t, t), f32),         # dred_acc
+        jax.ShapeDtypeStruct((1, a * t), f32),         # dvt_acc
         jax.ShapeDtypeStruct((hid, a), f32),           # dwq_acc
         jax.ShapeDtypeStruct((b, hid), f32),           # carry out...
         jax.ShapeDtypeStruct((b, hid), f32),
@@ -748,9 +762,9 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, t), f32),
         jax.ShapeDtypeStruct((b, mmel), f32),
     )
-    # 5 broadcast + weights + 9 residual streams + 2 entry cell states
+    # 4 broadcast + weights + 9 residual streams + 2 entry cell states
     # + 3 cotangent streams + 7 carry
-    n_vmem_in = (5 + len(_BWD_WEIGHT_ORDER) + 9 + 2 + 3 + 7)
+    n_vmem_in = (4 + len(_BWD_WEIGHT_ORDER) + 9 + 2 + 3 + 7)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -790,11 +804,6 @@ def make_core(cfg: _Cfg, interpret: bool = False):
     7-tuple (h_att, c_att, h_gen, c_gen, ctx, frame, cum), all f32.
     """
     d = cfg.dtype
-    # numpy, not jnp: this constant is closed over by the custom-vjp fwd AND
-    # bwd, which trace in different contexts under shard_map — a traced
-    # constant from the fwd trace would leak into the bwd trace
-    qe_np = np.repeat(np.eye(cfg.att_dim, dtype=np.float32),
-                      cfg.t_len, axis=1)
 
     def _run_forward(ops, memory, mask_add, shifted, teacher, seeds,
                      init_carry):
@@ -810,7 +819,6 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             cap = cfg.fwd_chunk  # interpreter mode has no VMEM limit
         s_chunk = _chunk_size(f, cap)
         call = _fwd_call(cfg, s_chunk, b, interpret)
-        qe = jnp.asarray(qe_np, d)
         w_ops = []
         for k in _WEIGHT_ORDER:
             v = ops[k]
@@ -818,8 +826,9 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                          or k in ("att_b", "gen_b", "head_b") else
                          v.astype(d))
         mem_d = memory.astype(d)
-        band, red, mt_am = (ops["band"].astype(d), ops["red"].astype(d),
-                            ops["mt_am"].astype(d))
+        band, vt, mt_am = (ops["band"].astype(d),
+                           ops["vt"].astype(jnp.float32),
+                           ops["mt_am"].astype(d))
         carry = tuple(init_carry)
         per_chunk = []
         for k in range(f // s_chunk):
@@ -829,7 +838,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             t_chunk = teacher[k * s_chunk:(k + 1) * s_chunk].reshape(1, -1)
             out = call(
                 ctrl, t_chunk,
-                mem_d, mt_am, mask_add, band, qe, red,
+                mem_d, mt_am, mask_add, band, vt,
                 shifted[k * s_chunk:(k + 1) * s_chunk].astype(d),
                 *carry,
                 *w_ops,
@@ -888,12 +897,12 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             cap = cfg.bwd_chunk
         s_chunk = _chunk_size(f, cap)
         call = _bwd_call(cfg, s_chunk, b, interpret)
-        qe = jnp.asarray(qe_np, d)
 
         w_ops = {k: ops[k].astype(d) for k in _BWD_WEIGHT_ORDER}
         mem_d = memory.astype(d)
-        band, red, mt_am = (ops["band"].astype(d), ops["red"].astype(d),
-                            ops["mt_am"].astype(d))
+        band, vt, mt_am = (ops["band"].astype(d),
+                           ops["vt"].astype(jnp.float32),
+                           ops["mt_am"].astype(d))
         (h0, c0, hg0, cg0, ctx0, frame0, cum0) = init_carry
 
         # cotangent chain starts at zero: the final states are unused
@@ -919,7 +928,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                          r_c_gen[lo - 1].astype(jnp.float32))
             out = call(
                 ctrl, t_chunk,
-                mem_d, mt_am, band, qe, red,
+                mem_d, mt_am, band, vt,
                 *(w_ops[kk] for kk in _BWD_WEIGHT_ORDER),
                 r_h_att[lo:hi], r_c_att[lo:hi], r_c_gen[lo:hi],
                 r_cum[lo:hi], r_x[lo:hi], r_d1[lo:hi],
@@ -937,7 +946,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         streams = [jnp.concatenate(parts, axis=0)
                    for parts in zip(*per_chunk)]
         (dg_att, dg_gen, da_frame, da1, da2, dctx_seq, dshift) = streams
-        dmt_am, dband, dred, dwq = accs
+        dmt_am, dband, dvt, dwq = accs
 
         # ---- weight gradients: large MXU matmuls over stored streams ----
         hid, mem, p, mmel = cfg.hidden, cfg.mem_dim, cfg.prenet_dim, cfg.mmel
@@ -989,7 +998,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             "att_w": d_att_w, "att_b": d_att_b, "wq": dwq,
             "gen_w": d_gen_w, "gen_b": d_gen_b,
             "head_w": d_head_w, "head_b": d_head_b,
-            "band": dband, "red": dred, "mt_am": dmt_am,
+            "band": dband, "vt": dvt, "mt_am": dmt_am,
         }
         d_ops = {k: v.astype(ops[k].dtype) for k, v in d_ops.items()}
         # dcarry is in KERNEL order (..., dctx, dcum, dframe) while
@@ -1042,13 +1051,16 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
                         bwd_chunk=bwd_chunk, train=train)
         core = make_core(cfg, interpret=interpret)
 
-        # differentiable operand construction (f32; cast inside the core)
+        # differentiable operand construction (f32; cast inside the core):
+        # gradients for lc/v/bias flow out of the band/vt/mt_am cotangents
         bundle = extract_decoder_bundle(
             None, compute_dtype=jnp.float32, cell_params=cell_params)
-        band, _qe, red, mt_am = _attention_operands(
-            bundle, memory_transform, t_len, att_dim, jnp.float32)
+        band = _band_blocks(bundle, t_len, att_dim, t_len, jnp.float32)[0]
+        vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
+        mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim,
+                            t_len, jnp.float32)
         ops = {k: bundle[k] for k in _WEIGHT_ORDER}
-        ops.update(band=band, red=red, mt_am=mt_am)
+        ops.update(band=band, vt=vt, mt_am=mt_am)
 
         mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
         seeds = jax.lax.bitcast_convert_type(

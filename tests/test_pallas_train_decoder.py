@@ -275,10 +275,14 @@ def test_stochastic_parity_vs_replica(regularization):
         core = ptd.make_core(cfg, interpret=True)
         bundle = ptd.extract_decoder_bundle(
             None, compute_dtype=jnp.float32, cell_params=cp)
-        band, _qe, red, mt_am = ptd._attention_operands(
-            bundle, mt_, t_len, mt_.shape[-1], jnp.float32)
+        att_dim = mt_.shape[-1]
+        band = ptd._band_blocks(bundle, t_len, att_dim, t_len,
+                                jnp.float32)[0]
+        vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
+        mt_am = ptd._mt_operand(bundle, mt_, t_len, att_dim, t_len,
+                                jnp.float32)
         ops = {k: bundle[k] for k in ptd._WEIGHT_ORDER}
-        ops.update(band=band, red=red, mt_am=mt_am)
+        ops.update(band=band, vt=vt, mt_am=mt_am)
         mask_add = jnp.where(mask, 0.0, ptd._NEG_INF).astype(jnp.float32)
         f32 = jnp.float32
         init = (jnp.zeros((b, cfg.hidden), f32),) * 4 + (
@@ -392,11 +396,15 @@ def test_eval_mode_parity_vs_xla(monkeypatch, regularization):
             np.asarray(ox[k]), np.asarray(of[k]), atol=5e-6, err_msg=k)
 
 
-def test_vmem_fit_gate_flagship_dims():
-    """ADVICE r2 (medium): at flagship dims (hidden 1024, att 128) the
-    backward kernel's chunk-independent VMEM footprint outgrows the budget
-    for long texts — the byte model must report no-fit so the router takes
-    the XLA scan instead of crashing in Mosaic."""
+def test_vmem_fit_gate():
+    """ADVICE r2 (medium): shapes whose chunk-independent VMEM footprint
+    outgrows the budget must report no-fit so the router takes the XLA
+    scan instead of crashing in Mosaic.
+
+    (The round-3 VPU energy path removed the qe/red operands and the
+    [A*T, T] dred accumulator, so flagship bf16 training now fits the
+    whole coarse 256-symbol range — the no-fit cases below use f32 or
+    doubled dims.)"""
     from multilingual_text_to_speech_tpu.config import HParams
 
     hp = HParams()
@@ -404,16 +412,24 @@ def test_vmem_fit_gate_flagship_dims():
     hp.num_mels = 80
     hp.prenet_dimension = 256
 
-    # short texts fit, long texts must not (both within the flat 256 bound)
+    # flagship bf16 fits across the coarse bound...
     assert ptd.fits_vmem(hp, 50, 128, 512, 128, dtype=jnp.bfloat16)
-    assert not ptd.fits_vmem(hp, 50, 256, 512, 128, dtype=jnp.bfloat16)
+    assert ptd.fits_vmem(hp, 50, 256, 512, 128, dtype=jnp.bfloat16)
+    # ...but f32 at batch 128 does not, nor do doubled dims
+    assert not ptd.fits_vmem(hp, 128, 256, 512, 128, dtype=jnp.float32)
+    hp2 = HParams()
+    hp2.decoder_dimension = 2048
+    hp2.num_mels = 80
+    hp2.prenet_dimension = 256
+    assert not ptd.fits_vmem(hp2, 128, 128, 1024, 256, dtype=jnp.bfloat16)
 
     # the no-fit sentinel: fixed bytes alone bust the budget => 0, not 1
     cfg = ptd._make_cfg(hp, t_len=256, mem_dim=512, att_dim=128,
-                        dtype=jnp.bfloat16)
-    assert ptd._vmem_chunk(cfg, 50, 32, True) == 0
+                        dtype=jnp.float32)
+    assert ptd._vmem_chunk(cfg, 128, 32, True) == 0
     # eval-mode (forward-only) fit is less demanding than training
-    assert ptd.fits_vmem(hp, 50, 192, 512, 128, dtype=jnp.bfloat16,
+    assert not ptd.fits_vmem(hp, 50, 192, 512, 128, dtype=jnp.float32)
+    assert ptd.fits_vmem(hp, 50, 192, 512, 128, dtype=jnp.float32,
                          train=False)
 
 
