@@ -31,7 +31,7 @@ def _sync(x) -> float:
     return float(x)
 
 
-def main():
+def main(int8: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +42,12 @@ def main():
     # throughput-serving chunk size: fewer dispatches per utterance
     # (interactive synthesis defaults to 64 for finer early-exit)
     hp.decode_chunk_frames = 128
+    # W8A8 int8 LSTM-gate matmuls in the fused serving decoder: the
+    # throughput-serving configuration.  Lossy but quantified well inside
+    # BASELINE.md's own 0.1 dB MCD criterion (demos/int8_quality_check.py,
+    # PARITY.md "int8 serving mode"); `--no-int8` benches the exact-bf16
+    # path.
+    hp.pallas_decoder_int8 = bool(int8)
 
     compute_dtype = jnp.bfloat16 if hp.compute_dtype == "bfloat16" else jnp.float32
     model = Tacotron(hp, train=False, dtype=compute_dtype)
@@ -279,4 +285,4 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--train":
         train_bench()
     else:
-        main()
+        main(int8="--no-int8" not in sys.argv[1:])

@@ -247,12 +247,13 @@ def train_jax(hp, batches, steps, log_every, torch_init_state, seed=7):
              None, None, 1.0, key)
     variables = jax.tree_util.tree_map(
         np.asarray, unfreeze(model.init(key, *args0)))
-    # identical starting point: port the torch initialization
-    ported = port_state_dict(torch_init_state, hp)
-    variables["params"] = merge_into(variables["params"], ported["params"],
-                                     strict=True)
-    variables["batch_stats"] = merge_into(
-        variables["batch_stats"], ported["batch_stats"], strict=True)
+    if torch_init_state is not None:
+        # identical starting point: port the torch initialization
+        ported = port_state_dict(torch_init_state, hp)
+        variables["params"] = merge_into(variables["params"],
+                                         ported["params"], strict=True)
+        variables["batch_stats"] = merge_into(
+            variables["batch_stats"], ported["batch_stats"], strict=True)
 
     # reference optimizer: torch Adam's weight_decay folds wd*param into the
     # gradient BEFORE the moments (here wd=0 so plain adam + global clip)

@@ -149,6 +149,12 @@ _DEFAULTS: Dict[str, Any] = {
     # supported (location-sensitive attention) and the backend is a TPU;
     # training and unsupported configs stay on the XLA scan.
     "use_pallas_decoder": True,
+    # W8A8 int8 serving mode for the fused decoder's two LSTM gate matmuls
+    # (per-output-column weight scales, dynamic per-row activation quant
+    # inside the kernel). ~1.8x on the dominant MXU work of the serving
+    # step; a lossy inference-only optimization, so opt-in. Quality impact
+    # on the trained fixture model is quantified in PARITY.md.
+    "pallas_decoder_int8": False,
     # Fused Pallas TRAINING decoder (ops/pallas_train_decoder.py): the
     # teacher-forced scan runs as chunked forward/backward kernels under a
     # custom VJP with weights and attention memory VMEM-resident. Applies on

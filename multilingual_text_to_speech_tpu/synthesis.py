@@ -176,7 +176,9 @@ class Synthesizer:
                     t_len, memory.shape[-1], mt.shape[-1],
                     carry["h_att"].shape[-1], carry["frame"].shape[-1],
                     int(self.hp.prenet_dimension), chunk_frames,
-                    compute_dtype))
+                    compute_dtype,
+                    quantized=bool(getattr(self.hp, "pallas_decoder_int8",
+                                           False))))
             if not ok:
                 if t_len not in warned:  # log once per text-length bucket
                     warned.add(t_len)

@@ -245,3 +245,46 @@ def test_vmem_cap_no_fit_sentinel():
     with pytest.raises(ValueError, match="fits_vmem"):
         _fused(hp, variables, carry, memory, mt, mask,
                jax.random.PRNGKey(0), block_cap=0)
+
+
+def test_fused_int8_gates_stay_close():
+    """W8A8 serving mode: int8 LSTM-gate matmuls (per-column weight scales,
+    dynamic per-row activation quant) must track the f32 XLA scan within
+    quantization noise over 16 AR steps, and keep the attention mass
+    normalized.  Tolerances are looser than the bf16 tests by design —
+    int8 is a lossy serving-only mode (quality on a TRAINED model is
+    quantified separately in PARITY.md)."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup()
+    rng = jax.random.PRNGKey(42)
+    carry_x, (spec_x, stop_x) = dec_xla(variables, carry, memory, mt, mask,
+                                        rng, chunk_frames=16)
+    bundle = extract_decoder_bundle(variables, jnp.float32,
+                                    quantize_gates=True)
+    assert bundle["att_w"].dtype == jnp.int8
+    assert bundle["gen_w"].dtype == jnp.int8
+    carry_q, (spec_q, stop_q) = fused_decode_chunk(
+        bundle, carry, memory, mt, mask, rng, 16,
+        dropout_rate=0.0, zoneout_h=hp.zoneout_hidden,
+        zoneout_c=hp.zoneout_cell, block_cap=128, interpret=True)
+    rel = (np.linalg.norm(np.asarray(spec_q) - np.asarray(spec_x))
+           / np.linalg.norm(np.asarray(spec_x)))
+    assert rel < 0.05, f"relative spec error {rel}"
+    assert np.isfinite(np.asarray(stop_q)).all()
+    np.testing.assert_allclose(
+        np.asarray(carry_q["att_state"]["weights"]).sum(-1), 16.0, rtol=1e-3)
+
+
+def test_fused_int8_batch_blocking_consistent():
+    """Row-wise activation quantization is per-example, so batch blocking
+    must not change int8 results (dropout off)."""
+    hp, variables, memory, mt, mask, carry, _ = _setup(batch=6)
+    bundle = extract_decoder_bundle(variables, jnp.float32,
+                                    quantize_gates=True)
+    kwargs = dict(dropout_rate=0.0, zoneout_h=hp.zoneout_hidden,
+                  zoneout_c=hp.zoneout_cell, interpret=True)
+    rng = jax.random.PRNGKey(3)
+    _, (s_full, _) = fused_decode_chunk(bundle, carry, memory, mt, mask,
+                                        rng, 8, block_cap=128, **kwargs)
+    _, (s_split, _) = fused_decode_chunk(bundle, carry, memory, mt, mask,
+                                         rng, 8, block_cap=3, **kwargs)
+    np.testing.assert_allclose(s_split, s_full, atol=1e-6)
