@@ -62,7 +62,12 @@ def main(int8: bool = True):
                        jnp.int32)
     text_lengths = jnp.full((batch,), text_len, jnp.int32)
     speakers = jnp.asarray(rng.randint(0, hp.speaker_number, batch), jnp.int32)
-    languages = jnp.asarray(np.arange(batch) % n_langs, jnp.int32)
+    # language-SORTED batch (the Synthesizer's serving layout): each language
+    # is one row group and every sample pays only its own language's encoder
+    # (synthesis.py::_plan_row_groups; one-hot languages never need the
+    # g-fold accent-mixing expansion)
+    languages = jnp.asarray(np.arange(batch) // (batch // n_langs), jnp.int32)
+    group_langs = jnp.arange(n_langs, dtype=jnp.int32)
 
     key = jax.random.PRNGKey(0)
     dummy_target = jnp.zeros((batch, 64, hp.num_mels), jnp.float32)
@@ -72,7 +77,8 @@ def main(int8: bool = True):
     )
 
     encode = jax.jit(lambda v, t, tl, s, l: model.apply(
-        v, t, tl, s, l, method=Tacotron.encode_for_inference))
+        v, t, tl, s, l, group_langs=group_langs,
+        method=Tacotron.encode_for_inference))
 
     from multilingual_text_to_speech_tpu.ops import pallas_decoder
 

@@ -162,12 +162,16 @@ class _GroupedConvStack(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, embedding=None, mask=None):
-        """``mask``: optional [B/g, T, g*C] zero-mask applied after every
+    def __call__(self, x, embedding=None, mask=None, group_langs=None):
+        """``x``: group-major [r, B/r, T, C] (see ``_to_grouped`` /
+        ``_to_row_groups``).
+        ``mask``: optional [r, B/r, T, 1] zero-mask applied after every
         block so activations beyond each sample's length stay exactly zero —
         this makes the stack invariant to bucket padding (each layer then
         sees zeros beyond the boundary, identical to running at the exact
-        length with zero 'same'-padding)."""
+        length with zero 'same'-padding).
+        ``group_langs``: optional [r] language id per row group (inference);
+        ``embedding`` must then already be gathered to [r, E]."""
         g = self.groups
         cin, cout = self.input_dim * g, self.output_dim * g
         specs = (
@@ -193,7 +197,7 @@ class _GroupedConvStack(nn.Module):
                     train=self.train,
                     dtype=self.dtype,
                     name=f"layer{li}",
-                )(embedding, x)
+                )(embedding, x, group_langs)
                 if mask is not None:
                     x = x * mask
             else:
@@ -208,22 +212,24 @@ class _GroupedConvStack(nn.Module):
                     train=self.train,
                     dtype=self.dtype,
                     name=f"layer{li}",
-                )(x)
+                )(x, group_langs)
                 if mask is not None:
                     x = x * mask
         return x
 
 
 def _to_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """[B, T, C] with language-interleaved batch -> [B/g, T, g*C].
+    """[B, T, C] with language-interleaved batch -> group-major [g, B/g, T, C].
 
     Batch entries (k*g + j) for j in 0..g-1 carry language j (the perfect
-    sampler contract, utils/samplers.py:50-67); entry j's channels land in
-    channel block j."""
+    sampler contract, utils/samplers.py:50-67); entry k*g+j becomes row
+    [j, k].  The reference packs groups into channels ([B/g, T, g*C],
+    modules/encoder.py:100-156); here the group axis leads so every conv is
+    a g-batched MXU matmul and all between-conv ops are elementwise — XLA's
+    layout assignment of the channel-packed form was profiled ~10x off
+    roofline (see layers.grouped_conv1d_taps)."""
     b, t, c = x.shape
-    return jnp.transpose(x.reshape(b // groups, groups, t, c), (0, 2, 1, 3)).reshape(
-        b // groups, t, groups * c
-    )
+    return jnp.transpose(x.reshape(b // groups, groups, t, c), (1, 0, 2, 3))
 
 
 def _expand_for_mixing(x, x_lengths, groups: int):
@@ -250,27 +256,46 @@ def _mix_grouped_outputs(h, x_langs, groups: int):
 
 
 def _grouped_length_mask(x_lengths, batch: int, time: int,
-                         groups: int, channels: int,
-                         dtype=jnp.float32):
-    """Per-sample length mask in the grouped layout [B/g, T, g*C] (each
-    channel block carries its own sample's mask)."""
+                         groups: int, dtype=jnp.float32):
+    """Per-sample length mask in the group-major layout: [g, B/g, T, 1]
+    (broadcasts over channels)."""
     if x_lengths is None:
         return None
     m = (jnp.arange(time)[None, :] < x_lengths[:, None]).astype(dtype)
-    m = m.reshape(batch // groups, groups, time).transpose(0, 2, 1)  # [B/g,T,g]
-    m = jnp.broadcast_to(
-        m[..., None], (batch // groups, time, groups, channels)
-    )
-    return m.reshape(batch // groups, time, groups * channels)
+    m = m.reshape(batch // groups, groups, time).transpose(1, 0, 2)
+    return m[..., None]                                    # [g, B/g, T, 1]
 
 
-def _from_grouped(x: jnp.ndarray, groups: int) -> jnp.ndarray:
-    """[B/g, T, g*C] -> [B, T, C] (inverse of _to_grouped)."""
-    bg, t, gc = x.shape
-    c = gc // groups
-    return jnp.transpose(x.reshape(bg, t, groups, c), (0, 2, 1, 3)).reshape(
-        bg * groups, t, c
-    )
+def _to_row_groups(x: jnp.ndarray, row_groups: int) -> jnp.ndarray:
+    """[B, T, C] with language-CONTIGUOUS batch -> [r, B/r, T, C].
+
+    Row-group inference layout (no interleave contract): the host sorts the
+    batch by language and pads each language's run to a whole number of row
+    groups; samples [i*B/r, (i+1)*B/r) form row group i, whose language id
+    is ``group_langs[i]``.  A zero-copy reshape — no transpose."""
+    b, t, c = x.shape
+    return x.reshape(row_groups, b // row_groups, t, c)
+
+
+def _from_row_groups(x4: jnp.ndarray) -> jnp.ndarray:
+    """[r, B/r, T, C] -> [B, T, C] (inverse of _to_row_groups)."""
+    r, br, t, c = x4.shape
+    return x4.reshape(r * br, t, c)
+
+
+def _row_group_length_mask(x_lengths, batch: int, time: int,
+                           row_groups: int, dtype=jnp.float32):
+    """Length mask in the row-group layout: [r, B/r, T, 1]."""
+    if x_lengths is None:
+        return None
+    m = (jnp.arange(time)[None, :] < x_lengths[:, None]).astype(dtype)
+    return m.reshape(row_groups, batch // row_groups, time)[..., None]
+
+
+def _from_grouped(x4: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Group-major [g, B/g, T, C] -> [B, T, C] (inverse of _to_grouped)."""
+    g, bg, t, c = x4.shape
+    return jnp.transpose(x4, (1, 0, 2, 3)).reshape(g * bg, t, c)
 
 
 class ConvolutionalEncoder(nn.Module):
@@ -285,21 +310,39 @@ class ConvolutionalEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_lengths=None, x_langs=None):
-        # x_langs given => inference accent mixing (any batch size):
-        # replicate every sample across all language groups, then mix the
-        # per-group outputs with the per-character weights (the reference
-        # supports this for batch 1 only; modules/encoder.py:136-156)
+    def __call__(self, x, x_lengths=None, x_langs=None, group_langs=None):
+        # group_langs given => row-group inference (language-sorted batch,
+        # each sample encoded ONLY by its own language's kernels — g-fold
+        # cheaper than mixing); x_langs given => accent mixing: replicate
+        # every sample across all language groups and mix the per-group
+        # outputs with the per-character weights (the reference supports
+        # that for batch 1 only; modules/encoder.py:136-156)
+        if group_langs is not None:
+            assert x_langs is None, "row groups and accent mixing are exclusive"
+            r = group_langs.shape[0]
+            mask = _row_group_length_mask(
+                x_lengths, x.shape[0], x.shape[1], r, dtype=self.dtype)
+            h = _to_row_groups(x, r)
+            h = self._stack(h, mask=mask, group_langs=group_langs)
+            return _from_row_groups(h)
+
         inference_mix = x_langs is not None
         if inference_mix:
             x, x_lengths = _expand_for_mixing(x, x_lengths, self.groups)
 
         mask = _grouped_length_mask(
-            x_lengths, x.shape[0], x.shape[1], self.groups, self.output_dim,
-            dtype=self.dtype,
+            x_lengths, x.shape[0], x.shape[1], self.groups, dtype=self.dtype,
         )
         h = _to_grouped(x, self.groups)
-        h = _GroupedConvStack(
+        h = self._stack(h, mask=mask)
+        h = _from_grouped(h, self.groups)
+
+        if inference_mix:
+            h = _mix_grouped_outputs(h, x_langs, self.groups)
+        return h
+
+    def _stack(self, h, mask=None, group_langs=None):
+        return _GroupedConvStack(
             input_dim=self.input_dim,
             output_dim=self.output_dim,
             dropout=self.dropout,
@@ -308,12 +351,7 @@ class ConvolutionalEncoder(nn.Module):
             train=self.train,
             dtype=self.dtype,
             name="stack",
-        )(h, mask=mask)
-        h = _from_grouped(h, self.groups)
-
-        if inference_mix:
-            h = _mix_grouped_outputs(h, x_langs, self.groups)
-        return h
+        )(h, mask=mask, group_langs=group_langs)
 
 
 class GeneratedConvolutionalEncoder(nn.Module):
@@ -332,21 +370,40 @@ class GeneratedConvolutionalEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_lengths=None, x_langs=None):
-        inference_mix = x_langs is not None
-        if inference_mix:
-            x, x_lengths = _expand_for_mixing(x, x_lengths, self.groups)
-
+    def __call__(self, x, x_lengths=None, x_langs=None, group_langs=None):
         e = nn.Embed(self.groups, self.embedding_dim, name="generator_embedding")(
             jnp.arange(self.groups)
         )
 
+        if group_langs is not None:
+            # row-group inference: gather each row group's language embedding
+            # — the whole generator then emits kernels per ROW GROUP, and
+            # every sample pays only its own language's encoder
+            assert x_langs is None, "row groups and accent mixing are exclusive"
+            r = group_langs.shape[0]
+            mask = _row_group_length_mask(
+                x_lengths, x.shape[0], x.shape[1], r, dtype=self.dtype)
+            h = _to_row_groups(x, r)
+            h = self._stack(h, e[group_langs], mask, group_langs)
+            return _from_row_groups(h)
+
+        inference_mix = x_langs is not None
+        if inference_mix:
+            x, x_lengths = _expand_for_mixing(x, x_lengths, self.groups)
+
         mask = _grouped_length_mask(
-            x_lengths, x.shape[0], x.shape[1], self.groups, self.output_dim,
-            dtype=self.dtype,
+            x_lengths, x.shape[0], x.shape[1], self.groups, dtype=self.dtype,
         )
         h = _to_grouped(x, self.groups)
-        h = _GroupedConvStack(
+        h = self._stack(h, e, mask)
+        h = _from_grouped(h, self.groups)
+
+        if inference_mix:
+            h = _mix_grouped_outputs(h, x_langs, self.groups)
+        return h
+
+    def _stack(self, h, embedding, mask=None, group_langs=None):
+        return _GroupedConvStack(
             input_dim=self.input_dim,
             output_dim=self.output_dim,
             dropout=self.dropout,
@@ -356,9 +413,4 @@ class GeneratedConvolutionalEncoder(nn.Module):
             train=self.train,
             dtype=self.dtype,
             name="stack",
-        )(h, embedding=e, mask=mask)
-        h = _from_grouped(h, self.groups)
-
-        if inference_mix:
-            h = _mix_grouped_outputs(h, x_langs, self.groups)
-        return h
+        )(h, embedding=embedding, mask=mask, group_langs=group_langs)

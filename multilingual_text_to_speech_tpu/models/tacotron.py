@@ -157,10 +157,17 @@ class Tacotron(nn.Module):
 
     # -- shared encode path ----------------------------------------------------
 
-    def _encode(self, text, text_lengths, languages, mix_languages=False):
+    def _encode(self, text, text_lengths, languages, mix_languages=False,
+                group_langs=None):
         """``mix_languages``: inference-time accent mixing for the grouped
         convolutional encoders (training uses the language-interleaved
-        grouped-batch contract instead and must NOT mix)."""
+        grouped-batch contract instead and must NOT mix).
+
+        ``group_langs`` [r]: row-group inference for the grouped encoders —
+        the batch is language-sorted/padded by the host (synthesis.py) and
+        row group i (samples [i*B/r, (i+1)*B/r)) runs ONLY language
+        ``group_langs[i]``'s encoder: g-fold cheaper than mixing when the
+        language weights are one-hot (the overwhelmingly common case)."""
         hp = self.hp
         b, t = text.shape
         langs_w = _languages_to_weights(
@@ -170,10 +177,16 @@ class Tacotron(nn.Module):
         # padding_idx=0 parity: PAD positions embed to zero
         embedded = jnp.where((text != 0)[..., None], embedded, 0.0)
         grouped = hp.encoder_type in ("convolutional", "generated")
-        encoder_langs = langs_w if (mix_languages or not grouped) else None
-        encoded = self.encoder(
-            embedded.astype(self.dtype), text_lengths, encoder_langs
-        )
+        if group_langs is not None and grouped:
+            encoded = self.encoder(
+                embedded.astype(self.dtype), text_lengths, None,
+                group_langs=group_langs,
+            )
+        else:
+            encoder_langs = langs_w if (mix_languages or not grouped) else None
+            encoded = self.encoder(
+                embedded.astype(self.dtype), text_lengths, encoder_langs
+            )
         return encoded.astype(jnp.float32), langs_w
 
     # -- training / teacher-forced forward --------------------------------------
@@ -230,11 +243,17 @@ class Tacotron(nn.Module):
         text_lengths: jnp.ndarray,
         speakers: Optional[jnp.ndarray],
         languages: Optional[jnp.ndarray],
+        group_langs: Optional[jnp.ndarray] = None,
     ):
         """Encode + prepare decoder memory; returns everything decode_chunk
-        needs (reference: tacotron2.py:387-403)."""
+        needs (reference: tacotron2.py:387-403).
+
+        ``group_langs``: language-sorted row-group encode (see ``_encode``)
+        — skips the g-fold accent-mixing expansion when languages are
+        one-hot."""
         encoded, langs_w = self._encode(text, text_lengths, languages,
-                                        mix_languages=True)
+                                        mix_languages=group_langs is None,
+                                        group_langs=group_langs)
         lang_idx = jnp.argmax(langs_w, axis=2) if langs_w is not None else None
         memory, memory_transform = self.decoder.prepare_memory(
             encoded, speakers, lang_idx

@@ -79,6 +79,45 @@ def parse_language_spec(spec: str, hp, t_length: int) -> np.ndarray:
 
 
 
+def _pure_language(weights: np.ndarray) -> Optional[int]:
+    """If the per-character weights [1, T, L] are one single one-hot language
+    for every character, return that language index; else None."""
+    w = weights[0]
+    lang = int(np.argmax(w[0]))
+    target = np.zeros(w.shape[1], w.dtype)
+    target[lang] = 1.0
+    return lang if bool(np.all(w == target)) else None
+
+
+def _plan_row_groups(langs: List[int], max_overhead: float = 0.125):
+    """Plan a language-sorted, run-padded batch for row-group encoding.
+
+    Returns ``(slots, group_langs, rows_per_group)`` where ``slots`` is a
+    list of original indices (None = padding slot) laid out so every
+    ``rows_per_group`` consecutive slots share one language, and
+    ``group_langs[r]`` is that language.  Picks the largest row-group size
+    whose padding overhead stays under ``max_overhead`` (larger row groups
+    amortize the per-row-group kernel gather; Bp=1 is always exact)."""
+    n = len(langs)
+    counts: dict = {}
+    for l in langs:
+        counts[l] = counts.get(l, 0) + 1
+    bp = 1
+    for cand in (64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2):
+        padded = sum(-(-c // cand) * cand for c in counts.values())
+        if padded <= n * (1.0 + max_overhead):
+            bp = cand
+            break
+    slots: List[Optional[int]] = []
+    group_langs: List[int] = []
+    for lang in sorted(counts):
+        idx = [i for i, l in enumerate(langs) if l == lang]
+        pad = (-len(idx)) % bp
+        slots += idx + [None] * pad
+        group_langs += [lang] * ((len(idx) + pad) // bp)
+    return slots, group_langs, bp
+
+
 def _speaker_index(hp, name: str) -> int:
     """Speaker name -> index with a helpful error (reference indexes blindly,
     synthesize.py:74)."""
@@ -239,7 +278,9 @@ class Synthesizer:
         text = np.zeros((1, t_pad), np.int32)
         text[0, :t] = sequence
         lang = None
-        if language_weights is not None:
+        pure = (_pure_language(language_weights)
+                if language_weights is not None else None)
+        if language_weights is not None and pure is None:
             lang = np.zeros((1, t_pad, language_weights.shape[2]), np.float32)
             lang[:, :t] = language_weights
             # padding needs a nonzero weight row for normalization stability
@@ -248,10 +289,19 @@ class Synthesizer:
             jnp.asarray([speaker], jnp.int32) if speaker is not None else None
         )
 
-        memory, mt, mask, carry = self._encode(
-            self.variables, jnp.asarray(text), jnp.asarray([t]), spk,
-            jnp.asarray(lang) if lang is not None else None,
-        )
+        if pure is not None:
+            # single-language utterance: row-group encode (1 row group) —
+            # pays one language's encoder instead of all g of them
+            memory, mt, mask, carry = self._encode(
+                self.variables, jnp.asarray(text), jnp.asarray([t]), spk,
+                jnp.asarray([pure], jnp.int32),
+                group_langs=jnp.asarray([pure], jnp.int32),
+            )
+        else:
+            memory, mt, mask, carry = self._encode(
+                self.variables, jnp.asarray(text), jnp.asarray([t]), spk,
+                jnp.asarray(lang) if lang is not None else None,
+            )
 
         key = jax.random.PRNGKey(seed)
         frames: List[np.ndarray] = []
@@ -305,34 +355,75 @@ class Synthesizer:
         in compiled chunks; each sample is cropped at its own stop token.
         Returns a list of denormalized [bins, F_i] spectrograms."""
         hp = self.hp
-        b = len(sequences)
+        n_in = len(sequences)
         t_pad = _bucket(max(len(s) for s in sequences), hp.bucket_text_multiple)
 
+        # ---- language plan: one-hot languages take the row-group encode
+        # path (language-sorted batch, each sample pays ONLY its own
+        # language's grouped encoder); true fractional accent blends keep
+        # the reference-style all-groups mixing path -----------------------
+        pure: Optional[List[int]] = None
+        if language_weights is not None:
+            cand = [_pure_language(w) for w in language_weights]
+            if all(c is not None for c in cand):
+                pure = cand  # type: ignore[assignment]
+        if pure is not None:
+            slots, group_langs, _ = _plan_row_groups(pure)
+        else:
+            slots, group_langs = list(range(n_in)), None
+        b = len(slots)
+
         text = np.zeros((b, t_pad), np.int32)
-        lengths = np.zeros(b, np.int32)
-        for i, seq in enumerate(sequences):
-            text[i, : len(seq)] = seq
-            lengths[i] = len(seq)
+        lengths = np.ones(b, np.int32)       # padding slots: length-1 dummies
+        for s_i, i in enumerate(slots):
+            if i is None:
+                continue
+            seq = sequences[i]
+            text[s_i, : len(seq)] = seq
+            lengths[s_i] = len(seq)
 
         lang = None
-        if language_weights is not None:
+        lang_ids = None
+        if pure is not None:
+            lang_ids = np.zeros(b, np.int32)
+            for s_i, i in enumerate(slots):
+                lang_ids[s_i] = pure[i] if i is not None else 0
+            # padding slots inherit their row group's language
+            rows = b // len(group_langs)
+            for s_i, i in enumerate(slots):
+                if i is None:
+                    lang_ids[s_i] = group_langs[s_i // rows]
+        elif language_weights is not None:
             num_l = language_weights[0].shape[2]
             lang = np.zeros((b, t_pad, num_l), np.float32)
             for i, w in enumerate(language_weights):
                 lang[i, : w.shape[1]] = w[0]
                 lang[i, w.shape[1]:] = w[0, -1]  # nonzero rows in padding
-        spk = (
-            jnp.asarray(speakers, jnp.int32) if speakers is not None else None
-        )
+        spk = None
+        if speakers is not None:
+            spk_arr = np.zeros(b, np.int32)
+            for s_i, i in enumerate(slots):
+                spk_arr[s_i] = speakers[i] if i is not None else 0
+            spk = jnp.asarray(spk_arr)
 
-        memory, mt, mask, carry = self._encode(
-            self.variables, jnp.asarray(text), jnp.asarray(lengths), spk,
-            jnp.asarray(lang) if lang is not None else None,
-        )
+        if pure is not None:
+            memory, mt, mask, carry = self._encode(
+                self.variables, jnp.asarray(text), jnp.asarray(lengths), spk,
+                jnp.asarray(lang_ids),
+                group_langs=jnp.asarray(group_langs, jnp.int32),
+            )
+        else:
+            memory, mt, mask, carry = self._encode(
+                self.variables, jnp.asarray(text), jnp.asarray(lengths), spk,
+                jnp.asarray(lang) if lang is not None else None,
+            )
 
         key = jax.random.PRNGKey(seed)
         chunks: List[np.ndarray] = []
         stop_at = np.full(b, -1, np.int64)   # absolute frame of first stop
+        for s_i, i in enumerate(slots):
+            if i is None:
+                stop_at[s_i] = 0             # padding decodes but never waits
         total = 0
         for _ in range(self.max_chunks):
             key, sub = jax.random.split(key)
@@ -369,14 +460,16 @@ class Synthesizer:
             self.variables, jnp.asarray(pre_padded), jnp.asarray(cuts)
         ))
 
-        out = []
-        for i in range(b):
-            spec = post[i, : cuts[i]].T      # [bins, F_i]
+        out: List[Optional[np.ndarray]] = [None] * n_in
+        for s_i, i in enumerate(slots):
+            if i is None:
+                continue
+            spec = post[s_i, : cuts[s_i]].T  # [bins, F_i]
             if hp.normalize_spectrogram:
                 spec = audio_ops.denormalize_spectrogram(
                     spec, hp, not hp.predict_linear
                 )
-            out.append(spec)
+            out[i] = spec
         return out
 
     def synthesize_batch_lines(self, lines, seed: int = 0):

@@ -411,3 +411,66 @@ def test_tacotron_predict_linear_cbhg():
         variables, text, text_len, target, target_len, None, None, 1.0, KEY
     )
     assert out["post_prediction"].shape == (2, 9, hp.num_fft // 2 + 1)
+
+
+@pytest.mark.parametrize("encoder_type", ["generated", "convolutional"])
+def test_row_group_encode_matches_mixing(encoder_type):
+    """Row-group inference (language-sorted batch, each sample through ONLY
+    its own language's grouped encoder) must equal the accent-mixing path
+    with one-hot weights — including unbalanced language counts and Bp>1
+    row groups with padding slots."""
+    n_langs = 3
+    hp = tiny_hp(
+        encoder_type=encoder_type,
+        multi_language=True, multi_speaker=True, speaker_number=4,
+        language_number=n_langs, languages=["de", "fr", "zh"],
+        speaker_embedding_dimension=4, language_embedding_dimension=2,
+    )
+    b, t = 7, 12
+    rng = np.random.RandomState(3)
+    text = jnp.asarray(rng.randint(3, hp.total_symbols(), (b, t)), jnp.int32)
+    tl = jnp.asarray(rng.randint(4, t + 1, b), jnp.int32)
+    spk = jnp.asarray(rng.randint(0, hp.speaker_number, b), jnp.int32)
+    langs = np.asarray([0, 2, 1, 0, 0, 2, 1])      # unbalanced
+
+    model = Tacotron(hp, train=False)
+    # init via the training path, which needs batch % groups == 0
+    bi = n_langs
+    target = jnp.zeros((bi, 8, hp.num_mels))
+    variables = model.init(
+        KEY, text[:bi], tl[:bi], target, jnp.full((bi,), 8, jnp.int32),
+        spk[:bi], jnp.arange(bi, dtype=jnp.int32), 0.0, KEY,
+    )
+
+    w = jax.nn.one_hot(
+        jnp.broadcast_to(jnp.asarray(langs)[:, None], (b, t)), n_langs)
+    mix = model.apply(variables, text, tl, spk, w,
+                      method=Tacotron.encode_for_inference)
+
+    # language-sorted with per-sample row groups (Bp=1)
+    order = np.argsort(langs, kind="stable")
+    inv = np.argsort(order)
+    gl = jnp.asarray(langs[order], jnp.int32)
+    rg = model.apply(variables, text[order], tl[order], spk[order],
+                     jnp.asarray(langs[order]), group_langs=gl,
+                     method=Tacotron.encode_for_inference)
+    np.testing.assert_allclose(np.asarray(rg[0])[inv], np.asarray(mix[0]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rg[1])[inv], np.asarray(mix[1]),
+                               atol=2e-5)
+
+    # Bp=2 row groups with padding slots (counts 3/2/2 -> padded 4/2/2)
+    slots = [0, 3, 4, None, 2, 6, 1, 5]             # sample indices by lang
+    gl2 = jnp.asarray([0, 0, 1, 2], jnp.int32)
+    text2 = jnp.stack([text[i] if i is not None else jnp.zeros(t, jnp.int32)
+                       for i in slots])
+    tl2 = jnp.asarray([int(tl[i]) if i is not None else 1 for i in slots])
+    spk2 = jnp.asarray([int(spk[i]) if i is not None else 0 for i in slots])
+    l2 = jnp.asarray([int(langs[i]) if i is not None else 0 for i in slots])
+    rg2 = model.apply(variables, text2, tl2, spk2, l2, group_langs=gl2,
+                      method=Tacotron.encode_for_inference)
+    got = np.asarray(rg2[0])
+    for s_i, i in enumerate(slots):
+        if i is None:
+            continue
+        np.testing.assert_allclose(got[s_i], np.asarray(mix[0])[i], atol=2e-5)
