@@ -244,3 +244,28 @@ def test_synthesizer_pallas_decoder_wrapper(trained_checkpoint, monkeypatch):
     assert len(long_text) > pallas_decoder._MAX_MEMORY_LEN
     long_spec = fused_synth.synthesize_line(f"p2|{long_text}|german|german")
     assert np.isfinite(long_spec).all()
+
+
+def test_synthesizer_row_group_batch_matches_mixing(trained_checkpoint):
+    """All-one-hot batches take the row-group encode path (language-sorted,
+    padded runs, each sample through only its own language's encoder); the
+    result must match the accent-mixing path, which a no-op fractional blend
+    forces."""
+    path, hp = trained_checkpoint
+    synth = Synthesizer.from_checkpoint(path, max_chunks=3)
+    texts = ["hallo welt", "guten tag wie geht", "danke", "bitte sehr", "ja"]
+    langs = ["german", "french", "german", "german", "french"]  # unbalanced
+    spks = ["german", "french", "german", "german", "french"]
+    pure_lines = [f"p{i}|{t}|{s}|{l}"
+                  for i, (t, s, l) in enumerate(zip(texts, spks, langs))]
+    # "<lang>*1.0:<other>*0.0" parses as a blend -> full mixing path
+    other = {"german": "french", "french": "german"}
+    blend_lines = [f"p{i}|{t}|{s}|{l}*1.0:{other[l]}*0.0"
+                   for i, (t, s, l) in enumerate(zip(texts, spks, langs))]
+
+    rg = synth.synthesize_batch_lines(pure_lines)
+    mix = synth.synthesize_batch_lines(blend_lines)
+    assert len(rg) == len(mix) == len(texts)
+    for a, b in zip(rg, mix):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-3)
