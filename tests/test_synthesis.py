@@ -269,3 +269,35 @@ def test_synthesizer_row_group_batch_matches_mixing(trained_checkpoint):
     for a, b in zip(rg, mix):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_plan_row_groups():
+    from multilingual_text_to_speech_tpu.synthesis import _plan_row_groups
+
+    # balanced counts pick a large row-group size with zero padding
+    langs = [0] * 48 + [1] * 48 + [2] * 48
+    slots, group_langs, bp = _plan_row_groups(langs)
+    assert bp == 48 and len(slots) == 144
+    assert None not in slots
+    assert group_langs == [0, 1, 2]
+
+    # unbalanced counts fall back to smaller groups within 12.5% overhead
+    langs = [0] * 5 + [1] * 2
+    slots, group_langs, bp = _plan_row_groups(langs)
+    assert len(slots) % bp == 0
+    assert len(slots) <= int(7 * 1.125) or bp == 1
+    # every row group is language-uniform and matches its group_langs entry
+    rows = len(slots) // len(group_langs)
+    for r, lang in enumerate(group_langs):
+        for s in slots[r * rows:(r + 1) * rows]:
+            if s is not None:
+                assert langs[s] == lang
+    # all original indices appear exactly once
+    real = [s for s in slots if s is not None]
+    assert sorted(real) == list(range(7))
+
+    # monolingual run: overhead stays under the 12.5% cap
+    slots, group_langs, bp = _plan_row_groups([3] * 30)
+    assert set(group_langs) == {3}
+    assert len(slots) <= int(30 * 1.125)
+    assert sorted(s for s in slots if s is not None) == list(range(30))
