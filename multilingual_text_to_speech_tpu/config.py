@@ -155,6 +155,11 @@ _DEFAULTS: Dict[str, Any] = {
     # step; a lossy inference-only optimization, so opt-in. Quality impact
     # on the trained fixture model is quantified in PARITY.md.
     "pallas_decoder_int8": False,
+    # int8 storage for the fused serving decoder's attention-memory and
+    # memory-transform VMEM streams (per-channel / per-attention-dim dequant
+    # scales). Halves the step's dominant operand traffic; None defers to the
+    # MTTS_PALLAS_INT8_STREAMS env toggle (off until hardware-validated).
+    "pallas_decoder_int8_streams": None,
     # Fused Pallas TRAINING decoder (ops/pallas_train_decoder.py): the
     # teacher-forced scan runs as chunked forward/backward kernels under a
     # custom VJP with weights and attention memory VMEM-resident. Applies on

@@ -115,6 +115,15 @@ _ABLATE = frozenset(
     f for f in os.environ.get("PALLAS_DEC_ABLATE", "").split(",") if f)
 
 
+def _int8_streams_default() -> bool:
+    """Default for int8 memory / memory-transform streaming (the serving
+    step's two dominant VMEM streams).  OFF until the kernel variant is
+    compile-validated on hardware — opt in with
+    ``MTTS_PALLAS_INT8_STREAMS=1`` or ``hp.pallas_decoder_int8_streams``;
+    interpret-mode parity is covered by tests/test_pallas_decoder.py."""
+    return os.environ.get("MTTS_PALLAS_INT8_STREAMS", "0") == "1"
+
+
 def _padded_t(t_len: int) -> int:
     """Internal memory length: blocked layouts pad T to a _T_BLOCK multiple
     (padded positions are masked to -inf and contribute nothing)."""
@@ -216,6 +225,17 @@ def _quantize_columns(w):
     return q, scale
 
 
+def _quantize_lastdim(x):
+    """Symmetric per-last-dim-channel int8 quantization over all leading
+    axes: ``x ~= q * scale[..broadcast.., c]``."""
+    xf = x.astype(jnp.float32)
+    red = tuple(range(x.ndim - 1))
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=red, keepdims=True), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16,
                            cell_params=None,
                            quantize_gates=False) -> Dict[str, jnp.ndarray]:
@@ -294,7 +314,7 @@ def _largest_block(b: int, cap: int) -> int:
 
 def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                   dropout_rate, zoneout_h, zoneout_c, dtype, t_block=None,
-                  quantized=False):
+                  quantized=False, q_streams=False):
     keep_rate = 1.0 - dropout_rate
     drop_thresh = np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
     drop_scale = 1.0 / keep_rate if keep_rate > 0.0 else 0.0
@@ -313,8 +333,17 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
 
     def kernel(*refs):
         (seed_ref, mem_ref, mt_ref, mask_ref) = refs[:4]
-        band_refs = refs[4:4 + n_blocks]
-        i = 4 + n_blocks
+        i = 4
+        if q_streams:
+            # int8 memory / memory-transform dequant scales (per channel /
+            # per attention dim): the two operands are the step's dominant
+            # VMEM streams, so storing them int8 halves that traffic
+            (mem_scale_ref, mts_ref) = refs[i:i + 2]
+            i += 2
+        else:
+            mem_scale_ref = mts_ref = None
+        band_refs = refs[i:i + n_blocks]
+        i += n_blocks
         (vt_ref,) = refs[i:i + 1]
         i += 1
         rest = refs[i:]
@@ -442,8 +471,10 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                 for j, (w0, w1) in enumerate(windows):
                     loc_j = matmul(
                         cum[:, w0:w1], band_refs[j]).astype(dtype)
-                    tz = jnp.tanh(
-                        loc_j + qt + mt_ref[:, j * at_b:(j + 1) * at_b])
+                    mt_j = mt_ref[:, j * at_b:(j + 1) * at_b]
+                    if q_streams:  # int8 mt: dequant by the per-a scale row
+                        mt_j = mt_j.astype(dtype) * mts_ref[:]
+                    tz = jnp.tanh(loc_j + qt + mt_j)
                     # e_j[b, t] = sum_a v[a] * tz[b, a*Tb + t] (f32 tree)
                     parts.append(_chunk_tree_sum(
                         tz.astype(jnp.float32) * vt_ref[:], t_block))
@@ -455,8 +486,15 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             p = jnp.exp(e)
             w = p / jnp.sum(p, axis=-1, keepdims=True)
             if "ctx" not in _ABLATE:
-                ctx = jnp.sum(mem_ref[:] * w[:, :, None].astype(dtype),
+                # int8 memory: the per-channel dequant commutes with the
+                # t-reduction, so the scale multiplies the SMALL [BB, Mem]
+                # result, not the [BB, T, Mem] stream
+                mem = (mem_ref[:].astype(dtype) if q_streams
+                       else mem_ref[:])
+                ctx = jnp.sum(mem * w[:, :, None].astype(dtype),
                               axis=1, dtype=jnp.float32)       # [BB, Mem]
+                if q_streams:
+                    ctx = ctx * mem_scale_ref[:]
                 o_ctx_ref[:] = ctx
                 ctx_d = ctx.astype(dtype)
             o_cum_ref[:] = cum + w
@@ -510,13 +548,11 @@ def _band_blocks(bundle, t_len, att_dim, t_block, dtype):
     return blocks
 
 
-def _mt_operand(bundle, memory_transform, t_len, att_dim, t_block, dtype):
-    """Pre-biased memory transform in the kernel's block-major A-flattened
-    layout: ``mt[b, j*(A*Tb) + a*Tb + (t - j*Tb)]`` (one block when
-    t_block == t_len).  Batch-dependent — built per call, unlike the
-    static operands."""
-    mt_b = memory_transform.astype(jnp.float32) + bundle["att_bias"][None]
-    b = memory_transform.shape[0]
+def _mt_layout(mt_b, t_len, att_dim, t_block, dtype):
+    """[B, T, A] -> the kernel's block-major A-flattened layout
+    ``mt[b, j*(A*Tb) + a*Tb + (t - j*Tb)]`` (one block when
+    t_block == t_len)."""
+    b = mt_b.shape[0]
     if t_block == t_len:
         return jnp.swapaxes(mt_b, 1, 2).reshape(
             b, att_dim * t_len).astype(dtype)
@@ -526,6 +562,13 @@ def _mt_operand(bundle, memory_transform, t_len, att_dim, t_block, dtype):
             b, att_dim * t_block)
         for j in range(n_b)
     ], axis=1).astype(dtype)
+
+
+def _mt_operand(bundle, memory_transform, t_len, att_dim, t_block, dtype):
+    """Pre-biased memory transform in the kernel layout.  Batch-dependent —
+    built per call, unlike the static operands."""
+    mt_b = memory_transform.astype(jnp.float32) + bundle["att_bias"][None]
+    return _mt_layout(mt_b, t_len, att_dim, t_block, dtype)
 
 
 def _static_energy_operands(bundle, t_len, att_dim, dtype, t_block):
@@ -540,7 +583,8 @@ def _static_energy_operands(bundle, t_len, att_dim, dtype, t_block):
 
 
 def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
-                in_widths, interpret, n_blocks=1, quantized=False):
+                in_widths, interpret, n_blocks=1, quantized=False,
+                q_streams=False):
     f32 = jnp.float32
     carry_shapes = (
         jax.ShapeDtypeStruct((bb, hidden), f32),   # h_att
@@ -551,7 +595,8 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
         jax.ShapeDtypeStruct((bb, mmel), f32),     # frame
         jax.ShapeDtypeStruct((bb, t_len), f32),    # cumulative weights
     )
-    n_vmem_in = 11 + n_blocks + len(_weight_keys(quantized))
+    n_vmem_in = (11 + n_blocks + len(_weight_keys(quantized))
+                 + (2 if q_streams else 0))   # + mem_scale, mts rows
     dtype = in_widths["dtype"]
     scratch = [
         pltpu.VMEM((bb, in_widths["att"]), dtype),
@@ -583,7 +628,7 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
 
 def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                     chunk, dtype, budget=110 * 1024 * 1024,
-                    quantized=False):
+                    quantized=False, q_streams=False):
     """Largest batch-block whose kernel fits the VMEM budget; 0 = no-fit
     (the fixed operands alone bust the budget and the caller must take the
     XLA scan — reaching the kernel anyway is a bug).
@@ -612,16 +657,19 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
     att_operands = band_rows * at_b + 2 * at_b  # band windows + vt (f32 row)
     # W8A8 mode: gate weights are 1-byte, plus two [1, 4H] f32 scale rows
     gate_esize = 1 if quantized else esize
+    # int8-streams mode stores memory and the mt layout 1-byte (+ scales)
+    stream_esize = 1 if q_streams else esize
     fixed = (
         gate_esize * (att_in * 4 * hidden + gen_in * 4 * hidden)
         + (2 * 4 * 4 * hidden if quantized else 0)
+        + (4 * (m_pad + at_b) if q_streams else 0)  # mem_scale + mts rows
         + esize * (head_in * (mmel + 1)
                    + mmel * prenet_dim + prenet_dim * prenet_dim
                    + hidden * att_dim + att_operands)
     )
     per_row = (
-        esize * (t_len * m_pad + at                 # memory, mt layout
-                 + att_in + gen_in + head_in)       # concat scratch
+        stream_esize * (t_len * m_pad + at)         # memory, mt layout
+        + esize * (att_in + gen_in + head_in)       # concat scratch
         + (att_in + gen_in if quantized else 0)     # int8 staging rows
         + 4 * chunk * (_r128(mmel) + 1)             # spec/stop outputs
         + 4 * (4 * hidden + mem_dim + t_len + mmel + t_len)  # carries, mask
@@ -633,13 +681,15 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
 
 
 def fits_vmem(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, chunk,
-              dtype, quantized=False) -> bool:
+              dtype, quantized=False, q_streams=False) -> bool:
     """True if the serving kernel fits VMEM at these dims (with at least an
     8-row batch block).  The Synthesizer checks this alongside
-    ``supports_shapes`` before routing a decode to the fused path."""
+    ``supports_shapes`` before routing a decode to the fused path.
+    ``q_streams=False`` is the conservative default — int8 streams only
+    shrink the footprint."""
     return _auto_block_cap(_padded_t(t_len), mem_dim, att_dim, hidden, mmel,
                            prenet_dim, chunk, dtype,
-                           quantized=quantized) >= 8
+                           quantized=quantized, q_streams=q_streams) >= 8
 
 
 def fused_decode_chunk(
@@ -657,6 +707,7 @@ def fused_decode_chunk(
     block_cap: Optional[int] = None,  # None = VMEM-model auto
     interpret: bool = False,
     static_ops=None,                  # precomputed _static_energy_operands
+    quantize_streams: Optional[bool] = None,  # None = env default
 ) -> Tuple[Carry, Tuple[jnp.ndarray, jnp.ndarray]]:
     """Drop-in replacement for ``Decoder.decode_chunk`` (inference mode).
 
@@ -672,6 +723,8 @@ def fused_decode_chunk(
     steps = int(chunk_frames)
     dtype = bundle["pre_w0"].dtype
     quantized = "att_ws" in bundle  # W8A8 gate matmuls (serving only)
+    q_streams = (quantize_streams if quantize_streams is not None
+                 else _int8_streams_default())
 
     # long texts run the T-blocked layout, which needs T % _T_BLOCK == 0:
     # pad the memory axis (padded positions masked to -inf, contribute 0)
@@ -694,7 +747,7 @@ def fused_decode_chunk(
         # non-positive/unset/garbage -> the VMEM-model auto size
         block_cap = env_cap if env_cap > 0 else _auto_block_cap(
             t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype,
-            quantized=quantized)
+            quantized=quantized, q_streams=q_streams)
     if block_cap < 1:
         raise ValueError(
             f"fused serving decoder does not fit VMEM at t_len={t_len}, "
@@ -706,7 +759,7 @@ def fused_decode_chunk(
     kernel = _build_kernel(
         steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         float(dropout_rate), float(zoneout_h), float(zoneout_c), dtype,
-        t_block=t_block, quantized=quantized)
+        t_block=t_block, quantized=quantized, q_streams=q_streams)
     in_widths = {
         "att": int(bundle["att_w"].shape[0]),
         "gen": int(bundle["gen_w"].shape[0]),
@@ -715,7 +768,7 @@ def fused_decode_chunk(
     }
     call = _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel,
                        att_dim, in_widths, interpret, n_blocks=n_t_blocks,
-                       quantized=quantized)
+                       quantized=quantized, q_streams=q_streams)
 
     mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
     seeds = jax.lax.bitcast_convert_type(
@@ -725,8 +778,25 @@ def fused_decode_chunk(
         static_ops = _static_energy_operands(
             bundle, t_len, att_dim, dtype, t_block)
     bands, att_ops = static_ops
-    mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim, t_block,
-                        dtype)
+    if q_streams:
+        # int8 memory (per-channel scales) and memory transform (per-a
+        # scales): the two operands dominate the step's VMEM streaming —
+        # ctx reads [BB, T, Mem] and the energy stage reads [BB, A*Tb] per
+        # block per step — so int8 halves that traffic.  Quality sits with
+        # the W8A8 gate quant under hp.pallas_decoder_int8 and is
+        # re-measured by demos/int8_quality_check.py.
+        memory, mem_scale = _quantize_lastdim(memory)
+        mt_b = (memory_transform.astype(jnp.float32)
+                + bundle["att_bias"][None])
+        mt_q, mts = _quantize_lastdim(mt_b)                    # [B,T,A] int8
+        mt_am = _mt_layout(mt_q, t_len, att_dim, t_block, jnp.int8)
+        extra_ops = (mem_scale.reshape(1, -1),
+                     jnp.repeat(mts.reshape(-1), t_block)[None, :]
+                     .astype(dtype))
+    else:
+        mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim,
+                            t_block, dtype)
+        extra_ops = ()
 
     carry_in = (
         carry["h_att"], carry["c_att"], carry["h_gen"], carry["c_gen"],
@@ -738,8 +808,9 @@ def fused_decode_chunk(
         sl = slice(i * bb, (i + 1) * bb)
         out = call(
             seeds[i],
-            memory[sl].astype(dtype), mt_am[sl], mask_add[sl],
-            *bands, *att_ops,
+            memory[sl] if q_streams else memory[sl].astype(dtype),
+            mt_am[sl], mask_add[sl],
+            *extra_ops, *bands, *att_ops,
             *(c[sl] for c in carry_in),
             *weights,
         )
@@ -769,11 +840,13 @@ def make_decode_fn(hp, variables, compute_dtype=jnp.bfloat16,
         variables, compute_dtype,
         quantize_gates=bool(getattr(hp, "pallas_decoder_int8", False)))
     zo = hp.decoder_regularization == "zoneout"
+    qs_attr = getattr(hp, "pallas_decoder_int8_streams", None)
     kwargs = dict(
         dropout_rate=float(hp.dropout),
         zoneout_h=float(hp.zoneout_hidden) if zo else 0.0,
         zoneout_c=float(hp.zoneout_cell) if zo else 0.0,
         interpret=interpret,
+        quantize_streams=None if qs_attr is None else bool(qs_attr),
     )
     chunk = int(getattr(hp, "decode_chunk_frames", 64))
     att_dim = int(hp.attention_dimension)

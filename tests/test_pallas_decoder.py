@@ -288,3 +288,48 @@ def test_fused_int8_batch_blocking_consistent():
     _, (s_split, _) = fused_decode_chunk(bundle, carry, memory, mt, mask,
                                          rng, 8, block_cap=3, **kwargs)
     np.testing.assert_allclose(s_split, s_full, atol=1e-6)
+
+
+def test_fused_int8_streams_short_text():
+    """int8 memory/memory-transform streaming (MTTS_PALLAS_INT8_STREAMS
+    opt-in): the per-channel mem dequant (folded past the t-reduction) and
+    the per-a mts dequant row must track the f32 XLA scan within
+    quantization noise on the single-fold layout."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup()
+    rng = jax.random.PRNGKey(11)
+    _, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask,
+                             rng, chunk_frames=16)
+    bundle = extract_decoder_bundle(variables, jnp.float32,
+                                    quantize_gates=True)
+    _, (spec_q, stop_q) = fused_decode_chunk(
+        bundle, carry, memory, mt, mask, rng, 16,
+        dropout_rate=0.0, zoneout_h=hp.zoneout_hidden,
+        zoneout_c=hp.zoneout_cell, block_cap=128, interpret=True,
+        quantize_streams=True)
+    rel = (np.linalg.norm(np.asarray(spec_q) - np.asarray(spec_x))
+           / np.linalg.norm(np.asarray(spec_x)))
+    assert rel < 0.05, f"relative spec error {rel}"
+    assert np.isfinite(np.asarray(stop_q)).all()
+
+
+def test_fused_int8_streams_blocked_long_text():
+    """int8 streaming on the T-blocked layout (T > 256): the quantized
+    memory/mt streams and the per-a mts dequant row must compose with the
+    banded block windows."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        batch=2, text_len=300)
+    rng = jax.random.PRNGKey(7)
+    carry_x, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask,
+                                   rng, chunk_frames=8)
+    bundle = extract_decoder_bundle(variables, jnp.float32,
+                                    quantize_gates=True)
+    carry_q, (spec_q, stop_q) = fused_decode_chunk(
+        bundle, carry, memory, mt, mask, rng, 8,
+        dropout_rate=0.0, zoneout_h=hp.zoneout_hidden,
+        zoneout_c=hp.zoneout_cell, block_cap=128, interpret=True,
+        quantize_streams=True)
+    assert carry_q["att_state"]["weights"].shape == (2, 300)
+    rel = (np.linalg.norm(np.asarray(spec_q) - np.asarray(spec_x))
+           / np.linalg.norm(np.asarray(spec_x)))
+    assert rel < 0.05, f"relative spec error {rel}"
+    assert np.isfinite(np.asarray(stop_q)).all()
