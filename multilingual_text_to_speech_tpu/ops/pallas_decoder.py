@@ -52,10 +52,18 @@ TPU and interpreter runs draw identical masks; zoneout uses its
 deterministic eval-mode interpolation, matching models/rnn.py.
 
 Step math mirrored from models/decoder.py::DecoderCell (reference loop
-body, tacotron2.py:180-198) and
-models/attention.py::LocationSensitiveAttention (reference
-modules/attention.py:39-45,67-86); parity vs the XLA scan is asserted in
-tests/test_pallas_decoder.py.
+body, tacotron2.py:180-198) and models/attention.py (reference
+modules/attention.py:39-156); parity vs the XLA scan is asserted in
+tests/test_pallas_decoder.py.  All three attention families run fused
+(round 3): location-sensitive folds the location conv into banded matmuls;
+the forward family (forward / forward_transition_agent) replaces the conv
+fold with a static [T, T] superdiagonal shift matmul for the monotonic
+recurrence ``(prev + shift(prev)) * softmax(e)`` — the energy softmax is
+UNMASKED over the bucketed length like the reference, the sample mask
+applies afterwards as zero + 1e-6 clamp + L1 renorm, and the transition
+agent's probability is carried as a lane-replicated [BB, 128] row updated
+by three tiny replicated-column matmuls.  Prenet depth is a parameter
+(any >= 1).
 
 Set ``PALLAS_DEC_ABLATE=att_lstm,gen_lstm,attention,ctx`` (any subset) to
 profile the kernel with stages stubbed out.
@@ -77,25 +85,33 @@ Carry = Dict[str, Any]
 _NEG_INF = -1e9
 _LANES = 128
 
-# bundle entries holding kernel weight operands, in kernel operand order
-_WEIGHT_KEYS = (
-    "pre_w0", "pre_b0", "pre_w1", "pre_b1",
-    "att_w", "att_b", "wq",
-    "gen_w", "gen_b",
-    "head_w", "head_b",
-)
-# int8 serving mode adds per-output-column dequant scales for the two gate
-# matmuls (order must match the kernel's operand unpacking)
-_WEIGHT_KEYS_INT8 = (
-    "pre_w0", "pre_b0", "pre_w1", "pre_b1",
-    "att_w", "att_ws", "att_b", "wq",
-    "gen_w", "gen_ws", "gen_b",
-    "head_w", "head_b",
-)
+def _weight_keys(quantized: bool, n_prenet: int = 2,
+                 att_kind: str = "ls"):
+    """Bundle entries holding kernel weight operands, in kernel operand
+    order.  int8 serving mode adds per-output-column dequant scales for
+    the two gate matmuls; the forward-attention transition agent adds its
+    three split weight blocks + bias (order must match the kernel's
+    operand unpacking)."""
+    pre = tuple(k for i in range(n_prenet)
+                for k in (f"pre_w{i}", f"pre_b{i}"))
+    gates = (("att_w", "att_ws", "att_b", "wq", "gen_w", "gen_ws", "gen_b")
+             if quantized else
+             ("att_w", "att_b", "wq", "gen_w", "gen_b"))
+    ta = (("ta_wc", "ta_wq", "ta_wx", "ta_b")
+          if att_kind == "fwd_trans" else ())
+    return pre + gates + ("head_w", "head_b") + ta
 
 
-def _weight_keys(quantized: bool):
-    return _WEIGHT_KEYS_INT8 if quantized else _WEIGHT_KEYS
+# hp.attention_type -> the kernel's static attention-kind tag
+_ATT_KINDS = {
+    "location_sensitive": "ls",
+    "forward": "fwd",
+    "forward_transition_agent": "fwd_trans",
+}
+
+
+def att_kind_of(hp) -> str:
+    return _ATT_KINDS[hp.attention_type]
 
 # Attention-operand layouts by text length:
 # - T <= 256: ONE A-major fold — band [T, A*T] (operands grow with T^2,
@@ -144,10 +160,15 @@ def _block_windows(t_len: int, t_block: int):
 
 def supports(hp) -> bool:
     """True if the fused kernel covers this configuration; otherwise the
-    caller should stay on the XLA scan path."""
+    caller should stay on the XLA scan path.
+
+    All three attention families are covered (location-sensitive with the
+    banded conv fold; forward / forward-with-transition-agent with a
+    shift-matrix recurrence, reference modules/attention.py:89-156) at any
+    prenet depth."""
     return (
-        hp.attention_type == "location_sensitive"
-        and int(getattr(hp, "prenet_layers", 2)) == 2
+        hp.attention_type in _ATT_KINDS
+        and int(getattr(hp, "prenet_layers", 2)) >= 1
         and hp.decoder_regularization in ("zoneout", "dropout")
     )
 
@@ -182,6 +203,14 @@ def _q_broadcast(q, t_block: int, att_dim: int):
     return jnp.concatenate(
         [jnp.broadcast_to(q[:, a:a + 1], (q.shape[0], t_block))
          for a in range(att_dim)], axis=1)
+
+
+def _tile_lanes(x, t_len: int):
+    """[BB, 128] lane-replicated row -> [BB, t_len] (2-D concat + prefix
+    slice only — Mosaic cannot lower 3-D broadcasts)."""
+    reps = -(-t_len // _LANES)
+    full = x if reps == 1 else jnp.concatenate([x] * reps, axis=1)
+    return full if full.shape[1] == t_len else full[:, :t_len]
 
 
 def _chunk_tree_sum(x, width: int):
@@ -259,13 +288,14 @@ def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16,
     """
     p = (cell_params if cell_params is not None
          else variables["params"]["decoder"]["cell"])
-    pre0, pre1 = p["prenet"]["fc0"], p["prenet"]["fc1"]
+    prenet = p["prenet"]
+    n_prenet = len(prenet)
     attg = p["attention_lstm"]["cell"]["gates"]
     geng = p["generator_lstm"]["cell"]["gates"]
     att = p["attention"]
     framep, stopp = p["frame_prediction"], p["stop_prediction"]
 
-    prenet_dim = pre0["kernel"].shape[1]
+    prenet_dim = prenet["fc0"]["kernel"].shape[1]
     hidden = attg["kernel"].shape[1] // 4
     mem_dim = attg["kernel"].shape[0] - prenet_dim - hidden
 
@@ -273,9 +303,43 @@ def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16,
     f32 = jnp.float32
     head_k = jnp.concatenate([framep["kernel"], stopp["kernel"]], axis=1)
     head_b = jnp.concatenate([framep["bias"], stopp["bias"]])[None, :]
-    # fold conv filter and location projection into one [K, A] matrix
-    # (both linear; folded in f32)
-    lc = att["loc_filter"][:, 0, :].astype(f32) @ att["location_kernel"].astype(f32)
+
+    if "query_kernel" in att:
+        # location-sensitive (reference modules/attention.py:39-86): fold
+        # conv filter and location projection into one [K, A] matrix (both
+        # linear; folded in f32)
+        lc = (att["loc_filter"][:, 0, :].astype(f32)
+              @ att["location_kernel"].astype(f32))
+        att_extra = {
+            "wq": att["query_kernel"].astype(d),
+            "att_bias": att["bias"].astype(f32),                  # [1, A]
+            "lc": lc.astype(f32),                                 # [K, A]
+            "v": att["energy_kernel"].reshape(-1).astype(f32),    # [A]
+        }
+    else:
+        # forward attention family (reference modules/attention.py:89-156):
+        # same qt/mt/v energy shape, no location conv
+        en = att["energy_net"]
+        att_extra = {
+            "wq": en["query"]["kernel"].astype(d),
+            "att_bias": en["bias"].astype(f32),                   # [1, A]
+            "v": en["energy"]["kernel"].reshape(-1).astype(f32),  # [A]
+        }
+        if "transition_agent" in att:
+            # t = sigmoid(W [context; query; prenet_out] + b): split W's
+            # row blocks and tile each to 128 replicated output columns so
+            # the kernel's three tiny matmuls produce a lane-replicated
+            # [BB, 128] t_prob (no width-1 VMEM tensors)
+            ta_k = att["transition_agent"]["kernel"].astype(f32)
+            tile = lambda w: jnp.tile(w, (1, _LANES)).astype(d)  # noqa: E731
+            att_extra.update({
+                "ta_wc": tile(ta_k[:mem_dim]),
+                "ta_wq": tile(ta_k[mem_dim:mem_dim + hidden]),
+                "ta_wx": tile(ta_k[mem_dim + hidden:]),
+                "ta_b": jnp.tile(
+                    att["transition_agent"]["bias"][None, :],
+                    (1, _LANES)).astype(f32),
+            })
 
     att_w = _pad_rows(attg["kernel"], (prenet_dim, mem_dim, hidden))
     gen_w = _pad_rows(geng["kernel"], (hidden, mem_dim, hidden))
@@ -286,22 +350,23 @@ def extract_decoder_bundle(variables, compute_dtype=jnp.bfloat16,
     else:
         att_w, gen_w = att_w.astype(d), gen_w.astype(d)
         quant = {}
+    pre = {}
+    for i in range(n_prenet):
+        fc = prenet[f"fc{i}"]
+        pre[f"pre_w{i}"] = fc["kernel"].astype(d)
+        pre[f"pre_b{i}"] = fc["bias"][None, :].astype(f32)
     return {
         **quant,
-        "pre_w0": pre0["kernel"].astype(d), "pre_b0": pre0["bias"][None, :].astype(f32),
-        "pre_w1": pre1["kernel"].astype(d), "pre_b1": pre1["bias"][None, :].astype(f32),
+        **pre,
         "att_w": att_w,
         "att_b": attg["bias"][None, :].astype(f32),
-        "wq": att["query_kernel"].astype(d),
         "gen_w": gen_w,
         "gen_b": geng["bias"][None, :].astype(f32),
         "head_w": _pad_rows(head_k, (hidden, mem_dim)).astype(d),
         "head_b": head_b.astype(f32),
         # folded at call time: bias into the memory transform, the location
         # conv+projection into the banded matmul, v into the reduction
-        "att_bias": att["bias"].astype(f32),                    # [1, A]
-        "lc": lc.astype(f32),                                   # [K, A]
-        "v": att["energy_kernel"].reshape(-1).astype(f32),      # [A]
+        **att_extra,
     }
 
 
@@ -314,7 +379,8 @@ def _largest_block(b: int, cap: int) -> int:
 
 def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                   dropout_rate, zoneout_h, zoneout_c, dtype, t_block=None,
-                  quantized=False, q_streams=False):
+                  quantized=False, q_streams=False, att_kind="ls",
+                  n_prenet=2, t_in=None):
     keep_rate = 1.0 - dropout_rate
     drop_thresh = np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
     drop_scale = 1.0 / keep_rate if keep_rate > 0.0 else 0.0
@@ -323,6 +389,11 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
     n_blocks = t_len // t_block
     windows = _block_windows(t_len, t_block)
     at_b = att_dim * t_block
+    t_in = t_len if t_in is None else t_in
+    # forward kinds: one [T, T] shift-matrix operand replaces the banded
+    # location-conv windows (see _static_energy_operands)
+    n_band_refs = n_blocks if att_kind == "ls" else 1
+    fwd_trans = att_kind == "fwd_trans"
 
     def matmul(x, w_ref, prefer=jnp.float32):
         return jax.lax.dot_general(
@@ -342,15 +413,21 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             i += 2
         else:
             mem_scale_ref = mts_ref = None
-        band_refs = refs[i:i + n_blocks]
-        i += n_blocks
+        band_refs = refs[i:i + n_band_refs]
+        i += n_band_refs
         (vt_ref,) = refs[i:i + 1]
         i += 1
         rest = refs[i:]
         (h_att_ref, c_att_ref, h_gen_ref, c_gen_ref,
-         ctx_ref, frame_ref, cum_ref,
-         pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref) = rest[:11]
-        rest = rest[11:]
+         ctx_ref, frame_ref, cum_ref) = rest[:7]
+        rest = rest[7:]
+        if fwd_trans:
+            (tp_ref,) = rest[:1]
+            rest = rest[1:]
+        else:
+            tp_ref = None
+        pre_refs = rest[:2 * n_prenet]
+        rest = rest[2 * n_prenet:]
         if quantized:
             (att_w_ref, att_ws_ref, att_b_ref, wq_ref,
              gen_w_ref, gen_ws_ref, gen_b_ref,
@@ -362,11 +439,20 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
              head_w_ref, head_b_ref) = rest[:7]
             att_ws_ref = gen_ws_ref = None
             rest = rest[7:]
+        if fwd_trans:
+            (ta_wc_ref, ta_wq_ref, ta_wx_ref, ta_b_ref) = rest[:4]
+            rest = rest[4:]
         (out_spec_ref, out_stop_ref,
          o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
-         o_ctx_ref, o_frame_ref, o_cum_ref,
-         att_in_ref, gen_in_ref, head_in_ref) = rest[:12]
-        qa_ref, qg_ref = (rest[12:14] if quantized else (None, None))
+         o_ctx_ref, o_frame_ref, o_cum_ref) = rest[:9]
+        rest = rest[9:]
+        if fwd_trans:
+            (o_tp_ref,) = rest[:1]
+            rest = rest[1:]
+        else:
+            o_tp_ref = None
+        (att_in_ref, gen_in_ref, head_in_ref) = rest[:3]
+        qa_ref, qg_ref = (rest[3:5] if quantized else (None, None))
         seed0 = seed_ref[0, 0].astype(jnp.uint32)
         seed1 = seed_ref[0, 1].astype(jnp.uint32)
 
@@ -415,11 +501,11 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             return g.astype(jnp.float32) * rs * ws_ref[:] + b_ref[:]
 
         def prenet(x, step):
-            for layer, (w_ref, b_ref) in enumerate(
-                    ((pre_w0_ref, pre_b0_ref), (pre_w1_ref, pre_b1_ref))):
+            for layer in range(n_prenet):
+                w_ref, b_ref = pre_refs[2 * layer], pre_refs[2 * layer + 1]
                 x = jax.nn.relu(matmul(x, w_ref) + b_ref[:])
                 if dropout_rate > 0.0:
-                    bits = rand_bits(x.shape, step * 2 + layer + 1)
+                    bits = rand_bits(x.shape, step * n_prenet + layer + 1)
                     x = jnp.where(bits < drop_thresh, x * drop_scale, 0.0)
             return x
 
@@ -433,6 +519,8 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         o_ctx_ref[:] = ctx_ref[:]
         o_frame_ref[:] = frame_ref[:]
         o_cum_ref[:] = cum_ref[:]
+        if fwd_trans:
+            o_tp_ref[:] = tp_ref[:]
         att_in_ref[:] = jnp.zeros_like(att_in_ref)
         gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
         head_in_ref[:] = jnp.zeros_like(head_in_ref)
@@ -468,23 +556,62 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                 q = matmul(h_att, wq_ref).astype(dtype)        # [BB, A]
                 qt = _q_broadcast(q, t_block, att_dim)
                 parts = []
-                for j, (w0, w1) in enumerate(windows):
-                    loc_j = matmul(
-                        cum[:, w0:w1], band_refs[j]).astype(dtype)
+                for j in range(n_blocks):
                     mt_j = mt_ref[:, j * at_b:(j + 1) * at_b]
                     if q_streams:  # int8 mt: dequant by the per-a scale row
                         mt_j = mt_j.astype(dtype) * mts_ref[:]
-                    tz = jnp.tanh(loc_j + qt + mt_j)
+                    if att_kind == "ls":
+                        w0, w1 = windows[j]
+                        loc_j = matmul(
+                            cum[:, w0:w1], band_refs[j]).astype(dtype)
+                        tz = jnp.tanh(loc_j + qt + mt_j)
+                    else:
+                        # forward family: same energy, no location conv
+                        tz = jnp.tanh(qt + mt_j)
                     # e_j[b, t] = sum_a v[a] * tz[b, a*Tb + t] (f32 tree)
                     parts.append(_chunk_tree_sum(
                         tz.astype(jnp.float32) * vt_ref[:], t_block))
                 e = (parts[0] if n_blocks == 1
-                     else jnp.concatenate(parts, axis=1)) + mask_add
+                     else jnp.concatenate(parts, axis=1))
             else:
-                e = cum * 0.01 + mask_add
-            e = e - jnp.max(e, axis=-1, keepdims=True)
-            p = jnp.exp(e)
-            w = p / jnp.sum(p, axis=-1, keepdims=True)
+                e = cum * 0.01
+            if att_kind == "ls":
+                e = e + mask_add
+                e = e - jnp.max(e, axis=-1, keepdims=True)
+                p = jnp.exp(e)
+                w = p / jnp.sum(p, axis=-1, keepdims=True)
+                new_att_state = cum + w                 # cumulative weights
+            else:
+                # forward attention (reference modules/attention.py:89-124
+                # / 127-156): the softmax energy is UNMASKED over the
+                # bucketed length (the sample mask applies AFTER the
+                # monotonic recurrence: zero + 1e-6 clamp + L1 renorm, as
+                # in models/attention.py::_forward_normalize); only kernel
+                # padding beyond the caller's t_in is excluded outright.
+                if t_in < t_len:
+                    texist = (jax.lax.broadcasted_iota(
+                        jnp.int32, e.shape, 1) < t_in)
+                    e = jnp.where(texist, e, _NEG_INF)
+                e = e - jnp.max(e, axis=-1, keepdims=True)
+                p = jnp.exp(e)
+                energy = p / jnp.sum(p, axis=-1, keepdims=True)
+                # shift(prev) as an MXU matmul with the static [T, T]
+                # superdiagonal operand (no lane-granular slicing, which
+                # Mosaic relayouts; the 0/1 operand is exact in bf16)
+                shifted = matmul(cum, band_refs[0])     # f32 [BB, T]
+                if fwd_trans:
+                    tp = _tile_lanes(o_tp_ref[:], t_len).astype(jnp.float32)
+                    comb = (1.0 - tp) * cum + tp * shifted
+                else:
+                    comb = cum + shifted
+                w = comb * energy
+                w = jnp.where(mask_add > -0.5, w, 0.0)
+                if t_in < t_len:
+                    w = jnp.maximum(w, jnp.where(texist, 1e-6, 0.0))
+                else:
+                    w = jnp.maximum(w, 1e-6)
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                new_att_state = w                       # current weights
             if "ctx" not in _ABLATE:
                 # int8 memory: the per-channel dequant commutes with the
                 # t-reduction, so the scale multiplies the SMALL [BB, Mem]
@@ -497,7 +624,16 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                     ctx = ctx * mem_scale_ref[:]
                 o_ctx_ref[:] = ctx
                 ctx_d = ctx.astype(dtype)
-            o_cum_ref[:] = cum + w
+            o_cum_ref[:] = new_att_state
+            if fwd_trans:
+                # transition agent (reference modules/attention.py:148-155):
+                # t = sigmoid(W [context; query; prenet_out] + b) via three
+                # lane-replicated [BB, 128] matmuls (no width-1 tensors)
+                o_tp_ref[:] = jax.nn.sigmoid(
+                    matmul(ctx_d, ta_wc_ref)
+                    + matmul(h_att, ta_wq_ref)
+                    + matmul(x.astype(dtype), ta_wx_ref)
+                    + ta_b_ref[:])
 
             if "gen_lstm" not in _ABLATE:
                 gen_in_ref[:, :hidden] = h_att.astype(dtype)
@@ -573,18 +709,24 @@ def _mt_operand(bundle, memory_transform, t_len, att_dim, t_block, dtype):
 
 def _static_energy_operands(bundle, t_len, att_dim, dtype, t_block):
     """The batch-INDEPENDENT energy operands for one padded t_len: the
-    banded location-conv windows plus the v-scale row ``vt[0, a*Tb + t] =
-    v[a]``.  Pure functions of the decoder weights — ``make_decode_fn``
-    computes them once per text-length bucket instead of re-deriving them
-    inside every decode-chunk call."""
-    bands = tuple(_band_blocks(bundle, t_len, att_dim, t_block, dtype))
+    banded location-conv windows (location-sensitive) or the [T, T]
+    superdiagonal shift matrix (forward family), plus the v-scale row
+    ``vt[0, a*Tb + t] = v[a]``.  Pure functions of the decoder weights —
+    ``make_decode_fn`` computes them once per text-length bucket instead
+    of re-deriving them inside every decode-chunk call."""
+    if "lc" in bundle:
+        bands = tuple(_band_blocks(bundle, t_len, att_dim, t_block, dtype))
+    else:
+        # shift(prev)[b, t] = prev[b, t-1] as prev @ S, S[s, s+1] = 1
+        bands = (jnp.asarray(np.eye(t_len, k=1, dtype=np.float32),
+                             dtype),)
     vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_block)[None, :]
     return bands, (vt,)
 
 
 def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
-                in_widths, interpret, n_blocks=1, quantized=False,
-                q_streams=False):
+                in_widths, interpret, n_band_refs=1, quantized=False,
+                q_streams=False, att_kind="ls", n_prenet=2):
     f32 = jnp.float32
     carry_shapes = (
         jax.ShapeDtypeStruct((bb, hidden), f32),   # h_att
@@ -593,9 +735,12 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
         jax.ShapeDtypeStruct((bb, hidden), f32),   # c_gen
         jax.ShapeDtypeStruct((bb, mem_dim), f32),  # context
         jax.ShapeDtypeStruct((bb, mmel), f32),     # frame
-        jax.ShapeDtypeStruct((bb, t_len), f32),    # cumulative weights
+        jax.ShapeDtypeStruct((bb, t_len), f32),    # attention weights
     )
-    n_vmem_in = (11 + n_blocks + len(_weight_keys(quantized))
+    if att_kind == "fwd_trans":  # lane-replicated transition probability
+        carry_shapes += (jax.ShapeDtypeStruct((bb, _LANES), f32),)
+    n_vmem_in = (3 + len(carry_shapes) + n_band_refs + 1
+                 + len(_weight_keys(quantized, n_prenet, att_kind))
                  + (2 if q_streams else 0))   # + mem_scale, mts rows
     dtype = in_widths["dtype"]
     scratch = [
@@ -616,7 +761,8 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem_in,
         out_specs=tuple(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(9)
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(2 + len(carry_shapes))
         ),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -628,7 +774,8 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
 
 def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                     chunk, dtype, budget=110 * 1024 * 1024,
-                    quantized=False, q_streams=False):
+                    quantized=False, q_streams=False, att_kind="ls",
+                    n_prenet=2):
     """Largest batch-block whose kernel fits the VMEM budget; 0 = no-fit
     (the fixed operands alone bust the budget and the caller must take the
     XLA scan — reaching the kernel anyway is a bug).
@@ -654,7 +801,13 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         tb = _T_BLOCK
         at_b = att_dim * tb
         band_rows = sum(w1 - w0 for w0, w1 in _block_windows(t_len, tb))
-    att_operands = band_rows * at_b + 2 * at_b  # band windows + vt (f32 row)
+    if att_kind == "ls":
+        # band windows + vt (f32 row)
+        att_operands = band_rows * at_b + 2 * at_b
+    else:
+        # [T, T] shift matrix + vt; transition agent adds 3 lane-replicated
+        # [in, 128] weight blocks (counted below with the gate weights)
+        att_operands = t_len * t_len + 2 * at_b
     # W8A8 mode: gate weights are 1-byte, plus two [1, 4H] f32 scale rows
     gate_esize = 1 if quantized else esize
     # int8-streams mode stores memory and the mt layout 1-byte (+ scales)
@@ -664,8 +817,11 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         + (2 * 4 * 4 * hidden if quantized else 0)
         + (4 * (m_pad + at_b) if q_streams else 0)  # mem_scale + mts rows
         + esize * (head_in * (mmel + 1)
-                   + mmel * prenet_dim + prenet_dim * prenet_dim
+                   + mmel * prenet_dim
+                   + (n_prenet - 1) * prenet_dim * prenet_dim
                    + hidden * att_dim + att_operands)
+        + (esize * (m_pad + h_pad + p_pad) * _LANES
+           if att_kind == "fwd_trans" else 0)       # transition agent
     )
     per_row = (
         stream_esize * (t_len * m_pad + at)         # memory, mt layout
@@ -673,6 +829,7 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         + (att_in + gen_in if quantized else 0)     # int8 staging rows
         + 4 * chunk * (_r128(mmel) + 1)             # spec/stop outputs
         + 4 * (4 * hidden + mem_dim + t_len + mmel + t_len)  # carries, mask
+        + (4 * 2 * _LANES if att_kind == "fwd_trans" else 0)  # t_prob i/o
     )
     cap = int((budget - fixed) // max(per_row, 1))
     if cap < 8:
@@ -681,7 +838,8 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
 
 
 def fits_vmem(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, chunk,
-              dtype, quantized=False, q_streams=False) -> bool:
+              dtype, quantized=False, q_streams=False, att_kind="ls",
+              n_prenet=2) -> bool:
     """True if the serving kernel fits VMEM at these dims (with at least an
     8-row batch block).  The Synthesizer checks this alongside
     ``supports_shapes`` before routing a decode to the fused path.
@@ -689,7 +847,8 @@ def fits_vmem(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, chunk,
     shrink the footprint."""
     return _auto_block_cap(_padded_t(t_len), mem_dim, att_dim, hidden, mmel,
                            prenet_dim, chunk, dtype,
-                           quantized=quantized, q_streams=q_streams) >= 8
+                           quantized=quantized, q_streams=q_streams,
+                           att_kind=att_kind, n_prenet=n_prenet) >= 8
 
 
 def fused_decode_chunk(
@@ -725,6 +884,10 @@ def fused_decode_chunk(
     quantized = "att_ws" in bundle  # W8A8 gate matmuls (serving only)
     q_streams = (quantize_streams if quantize_streams is not None
                  else _int8_streams_default())
+    # attention family and prenet depth are encoded by the bundle's keys
+    att_kind = ("ls" if "lc" in bundle
+                else "fwd_trans" if "ta_wc" in bundle else "fwd")
+    n_prenet = sum(1 for k in bundle if k.startswith("pre_w"))
 
     # long texts run the T-blocked layout, which needs T % _T_BLOCK == 0:
     # pad the memory axis (padded positions masked to -inf, contribute 0)
@@ -747,7 +910,8 @@ def fused_decode_chunk(
         # non-positive/unset/garbage -> the VMEM-model auto size
         block_cap = env_cap if env_cap > 0 else _auto_block_cap(
             t_len, mem_dim, att_dim, hidden, mmel, prenet_dim, steps, dtype,
-            quantized=quantized, q_streams=q_streams)
+            quantized=quantized, q_streams=q_streams, att_kind=att_kind,
+            n_prenet=n_prenet)
     if block_cap < 1:
         raise ValueError(
             f"fused serving decoder does not fit VMEM at t_len={t_len}, "
@@ -759,7 +923,8 @@ def fused_decode_chunk(
     kernel = _build_kernel(
         steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         float(dropout_rate), float(zoneout_h), float(zoneout_c), dtype,
-        t_block=t_block, quantized=quantized, q_streams=q_streams)
+        t_block=t_block, quantized=quantized, q_streams=q_streams,
+        att_kind=att_kind, n_prenet=n_prenet, t_in=t_in)
     in_widths = {
         "att": int(bundle["att_w"].shape[0]),
         "gen": int(bundle["gen_w"].shape[0]),
@@ -767,13 +932,16 @@ def fused_decode_chunk(
         "dtype": dtype,
     }
     call = _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel,
-                       att_dim, in_widths, interpret, n_blocks=n_t_blocks,
-                       quantized=quantized, q_streams=q_streams)
+                       att_dim, in_widths, interpret,
+                       n_band_refs=n_t_blocks if att_kind == "ls" else 1,
+                       quantized=quantized, q_streams=q_streams,
+                       att_kind=att_kind, n_prenet=n_prenet)
 
     mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
     seeds = jax.lax.bitcast_convert_type(
         jax.random.bits(rng, (n_blocks, 1, 2), jnp.uint32), jnp.int32)
-    weights = tuple(bundle[k] for k in _weight_keys(quantized))
+    weights = tuple(bundle[k]
+                    for k in _weight_keys(quantized, n_prenet, att_kind))
     if static_ops is None:
         static_ops = _static_energy_operands(
             bundle, t_len, att_dim, dtype, t_block)
@@ -802,6 +970,10 @@ def fused_decode_chunk(
         carry["h_att"], carry["c_att"], carry["h_gen"], carry["c_gen"],
         carry["context"], carry["frame"], cum_in,
     )
+    if att_kind == "fwd_trans":
+        # [B, 1] transition probability -> lane-replicated [B, 128]
+        carry_in += (jnp.tile(
+            carry["att_state"]["t_prob"].astype(jnp.float32), (1, _LANES)),)
 
     specs, stops, carry_blocks = [], [], []
     for i in range(n_blocks):
@@ -822,11 +994,14 @@ def fused_decode_chunk(
     stop = jnp.swapaxes(jnp.concatenate(stops, axis=1), 0, 1)   # [B, S]
     merged = [jnp.concatenate(parts, axis=0)
               for parts in zip(*carry_blocks)]
+    att_state = {"weights": merged[6][:, :t_in]}
+    if att_kind == "fwd_trans":
+        att_state["t_prob"] = merged[7][:, :1]
     new_carry = {
         "h_att": merged[0], "c_att": merged[1],
         "h_gen": merged[2], "c_gen": merged[3],
         "context": merged[4], "frame": merged[5],
-        "att_state": {"weights": merged[6][:, :t_in]},
+        "att_state": att_state,
     }
     return new_carry, (spec, stop)
 

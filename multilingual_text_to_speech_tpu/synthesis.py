@@ -217,7 +217,9 @@ class Synthesizer:
                     int(self.hp.prenet_dimension), chunk_frames,
                     compute_dtype,
                     quantized=bool(getattr(self.hp, "pallas_decoder_int8",
-                                           False))))
+                                           False)),
+                    att_kind=pallas_decoder.att_kind_of(self.hp),
+                    n_prenet=int(self.hp.prenet_layers)))
             if not ok:
                 if t_len not in warned:  # log once per text-length bucket
                     warned.add(t_len)

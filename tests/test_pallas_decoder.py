@@ -32,11 +32,14 @@ def tiny_hp(**over):
         decoder_regularization="zoneout", **over)
 
 
-def _setup(batch=6, text_len=24, regularization="zoneout"):
+def _setup(batch=6, text_len=24, regularization="zoneout",
+           attention_type="location_sensitive", **hp_over):
     hp = tiny_hp()
     hp.dropout = 0.0
     hp.decoder_regularization = regularization
-    hp.attention_type = "location_sensitive"
+    hp.attention_type = attention_type
+    for k, v in hp_over.items():
+        setattr(hp, k, v)
     assert supports(hp)
 
     model = Tacotron(hp, train=False)
@@ -176,7 +179,14 @@ def test_fused_chunk_dropout_is_stochastic_but_bounded():
 def test_supports_gates_unsupported_configs():
     hp = tiny_hp()
     assert supports(hp)
+    # round 3: the forward family and any prenet depth >= 1 are covered
     hp.attention_type = "forward"
+    assert supports(hp)
+    hp.attention_type = "forward_transition_agent"
+    assert supports(hp)
+    hp.prenet_layers = 3
+    assert supports(hp)
+    hp.prenet_layers = 0
     assert not supports(hp)
 
 
@@ -333,3 +343,92 @@ def test_fused_int8_streams_blocked_long_text():
            / np.linalg.norm(np.asarray(spec_x)))
     assert rel < 0.05, f"relative spec error {rel}"
     assert np.isfinite(np.asarray(stop_q)).all()
+
+
+@pytest.mark.parametrize("attention_type",
+                         ["forward", "forward_transition_agent"])
+def test_fused_forward_attention_matches_xla_scan(attention_type):
+    """Round 3: the forward-attention family runs fused (reference
+    modules/attention.py:89-156 — monotonic shift recurrence, unmasked
+    softmax energy, masked clamp+renormalize; the transition agent's
+    DNN-gated mix).  f32 interpret-mode parity vs the XLA scan, including
+    the carried attention state (and t_prob)."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        attention_type=attention_type)
+    rng = jax.random.PRNGKey(42)
+
+    carry_x, (spec_x, stop_x) = dec_xla(variables, carry, memory, mt, mask,
+                                        rng, chunk_frames=4)
+    carry_p, (spec_p, stop_p) = _fused(hp, variables, carry, memory, mt,
+                                       mask, rng, chunk=4)
+    np.testing.assert_allclose(spec_p, spec_x, atol=3e-5)
+    np.testing.assert_allclose(stop_p, stop_x, atol=3e-5)
+    np.testing.assert_allclose(carry_p["att_state"]["weights"],
+                               carry_x["att_state"]["weights"], atol=3e-5)
+    if attention_type == "forward_transition_agent":
+        assert carry_p["att_state"]["t_prob"].shape == (6, 1)
+        np.testing.assert_allclose(carry_p["att_state"]["t_prob"],
+                                   carry_x["att_state"]["t_prob"],
+                                   atol=3e-5)
+    # forward weights are a normalized distribution every step
+    np.testing.assert_allclose(
+        np.asarray(carry_p["att_state"]["weights"]).sum(-1), 1.0, rtol=1e-5)
+
+    # chunk chaining: fused carry into fused vs xla carry into xla
+    k2 = jax.random.PRNGKey(7)
+    _, (spec_x2, _) = dec_xla(variables, carry_x, memory, mt, mask, k2,
+                              chunk_frames=4)
+    _, (spec_p2, _) = _fused(hp, variables, carry_p, memory, mt, mask, k2,
+                             chunk=4)
+    np.testing.assert_allclose(spec_p2, spec_x2, atol=2e-4)
+
+
+def test_fused_forward_attention_blocked_long_text():
+    """Forward attention on the T-blocked layout (T=300 pads to 384): the
+    kernel-internal padding must stay excluded from the unmasked softmax
+    AND from the 1e-6 clamp floor (the XLA scan never sees those
+    positions)."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        batch=2, text_len=300, attention_type="forward")
+    rng = jax.random.PRNGKey(5)
+    carry_x, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask,
+                                   rng, chunk_frames=6)
+    carry_p, (spec_p, _) = _fused(hp, variables, carry, memory, mt, mask,
+                                  rng, chunk=6)
+    assert carry_p["att_state"]["weights"].shape == (2, 300)
+    np.testing.assert_allclose(spec_p, spec_x, atol=5e-5)
+    np.testing.assert_allclose(carry_p["att_state"]["weights"],
+                               carry_x["att_state"]["weights"], atol=5e-5)
+
+
+def test_fused_prenet_depth_generalized():
+    """Round 3: any prenet depth >= 1 runs fused (the reference always uses
+    2; depth is an hp).  Parity at depths 1 and 3."""
+    for depth in (1, 3):
+        hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+            prenet_layers=depth)
+        rng = jax.random.PRNGKey(11)
+        _, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask, rng,
+                                 chunk_frames=4)
+        _, (spec_p, _) = _fused(hp, variables, carry, memory, mt, mask,
+                                rng, chunk=4)
+        np.testing.assert_allclose(spec_p, spec_x, atol=3e-5,
+                                   err_msg=f"prenet depth {depth}")
+
+
+def test_fused_forward_int8_gates():
+    """The W8A8 gate quant composes with the forward-attention kernel."""
+    hp, variables, memory, mt, mask, carry, dec_xla = _setup(
+        attention_type="forward_transition_agent")
+    rng = jax.random.PRNGKey(13)
+    _, (spec_x, _) = dec_xla(variables, carry, memory, mt, mask, rng,
+                             chunk_frames=8)
+    bundle = extract_decoder_bundle(variables, jnp.float32,
+                                    quantize_gates=True)
+    _, (spec_q, _) = fused_decode_chunk(
+        bundle, carry, memory, mt, mask, rng, 8,
+        dropout_rate=0.0, zoneout_h=hp.zoneout_hidden,
+        zoneout_c=hp.zoneout_cell, block_cap=128, interpret=True)
+    rel = (np.linalg.norm(np.asarray(spec_q) - np.asarray(spec_x))
+           / np.linalg.norm(np.asarray(spec_x)))
+    assert rel < 0.05, f"relative spec error {rel}"

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from multilingual_text_to_speech_tpu.config import HParams
 from multilingual_text_to_speech_tpu.data import TextToSpeechDatasetCollection
@@ -301,3 +302,49 @@ def test_plan_row_groups():
     assert set(group_langs) == {3}
     assert len(slots) <= int(30 * 1.125)
     assert sorted(s for s in slots if s is not None) == list(range(30))
+
+
+def test_synthesizer_fused_forward_attention(monkeypatch):
+    """Round 3: the fused serving kernel covers the forward-attention
+    family end-to-end through the Synthesizer (carry threading includes
+    t_prob for the transition agent); fused (interpret) and XLA-scan
+    synthesis must agree with dropout disabled."""
+    from tests.corpus_utils import tiny_model_hp
+    from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder
+
+    hp = tiny_model_hp(
+        languages=["german", "french"], multi_language=True,
+        multi_speaker=True, speaker_embedding_dimension=4,
+        language_embedding_dimension=2,
+        attention_type="forward_transition_agent",
+        decode_chunk_frames=8, max_output_length=24, dropout=0.0,
+    )
+    hp.language_number = 2
+    hp.speaker_number = 2
+    hp.unique_speakers = ["a", "b"]
+    hp.mel_normalize_mean = [0.0] * hp.num_mels
+    hp.mel_normalize_variance = [1.0] * hp.num_mels
+    assert pallas_decoder.supports(hp)
+
+    model = Tacotron(hp, train=False)
+    b, t = 2, hp.bucket_text_multiple
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((b, t), jnp.int32),
+        jnp.full((b,), t), jnp.zeros((b, 16, hp.num_mels)),
+        jnp.full((b,), 16), jnp.zeros((b,), jnp.int32),
+        jnp.arange(b, dtype=jnp.int32), 0.0, jax.random.PRNGKey(0))
+
+    line = "f1|hallo welt|a|german"
+    monkeypatch.setenv("MTTS_PALLAS_DECODER", "interpret")
+    fused_synth = Synthesizer(hp, variables, max_chunks=2)
+    assert fused_synth._decode_chunk.__name__ == "decode"
+    fused_spec = fused_synth.synthesize_line(line)
+
+    monkeypatch.setenv("MTTS_PALLAS_DECODER", "off")
+    xla_spec = Synthesizer(hp, variables, max_chunks=2).synthesize_line(line)
+    assert fused_spec.shape == xla_spec.shape
+    # both paths run bf16 (Synthesizer compute dtype); chained AR chunks on
+    # an untrained random net amplify the reassociation noise — same coarse
+    # bound as the location-sensitive wrapper test above
+    np.testing.assert_allclose(fused_spec, xla_spec, atol=0.02)

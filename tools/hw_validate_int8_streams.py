@@ -1,0 +1,148 @@
+"""Hardware validation for the int8 memory/memory-transform serving streams
+(``MTTS_PALLAS_INT8_STREAMS`` / ``hp.pallas_decoder_int8_streams``).
+
+One process, one TPU session (the tunnel wedges between processes):
+  1. trivial-op probe (fails fast if the tunnel is down),
+  2. Mosaic compile of the streams kernel at flagship serving dims,
+  3. parity: streams-on vs streams-off (both int8 gates) and vs the XLA
+     scan on the first chunk,
+  4. profiled device us/step for off/on at T=128 (chunk 128, B=240) and
+     T=512 (chunk 64, T-blocked layout).
+
+Run:  timeout 1200 python tools/hw_validate_int8_streams.py
+"""
+import glob
+import gzip
+import json
+import sys
+import tempfile
+
+import numpy as np
+
+
+def device_us(run_fn):
+    import jax
+    trace_dir = tempfile.mkdtemp(prefix="int8s_trace_")
+    jax.profiler.start_trace(trace_dir)
+    run_fn()
+    jax.profiler.stop_trace()
+    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                          recursive=True))[-1]
+    data = json.load(gzip.open(tf))
+    events = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    return sum(e.get("dur", 0) for e in events
+               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
+               and e.get("name", "").startswith("jit_"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print("probe:", float(jax.jit(lambda x: x + 1)(jnp.float32(1))),
+          flush=True)
+    assert jax.devices()[0].platform == "tpu", jax.devices()
+
+    from __graft_entry__ import _flagship_hp
+    from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder
+
+    hp = _flagship_hp()
+    hp.pallas_decoder_int8 = True
+    compute_dtype = jnp.bfloat16
+
+    model = Tacotron(hp, train=False, dtype=compute_dtype)
+    n_langs = len(hp.languages)
+    batch = 48 * n_langs
+    rng = np.random.RandomState(0)
+
+    def setup(text_len):
+        text = jnp.asarray(
+            rng.randint(3, hp.total_symbols(), (batch, text_len)), jnp.int32)
+        text_lengths = jnp.full((batch,), text_len, jnp.int32)
+        speakers = jnp.asarray(
+            rng.randint(0, hp.speaker_number, batch), jnp.int32)
+        languages = jnp.asarray(
+            np.arange(batch) // (batch // n_langs), jnp.int32)
+        group_langs = jnp.arange(n_langs, dtype=jnp.int32)
+        key = jax.random.PRNGKey(0)
+        dummy_target = jnp.zeros((batch, 64, hp.num_mels), jnp.float32)
+        variables = jax.jit(model.init)(
+            key, text, text_lengths, dummy_target,
+            jnp.full((batch,), 64, jnp.int32), speakers, languages, 0.0, key)
+        memory, mt, mask, carry = jax.jit(
+            lambda v: model.apply(
+                v, text, text_lengths, speakers, languages,
+                group_langs=group_langs,
+                method=Tacotron.encode_for_inference))(variables)
+        return variables, memory, mt, mask, carry
+
+    def decode_fn(variables, streams, chunk):
+        hp.decode_chunk_frames = chunk
+        hp.pallas_decoder_int8_streams = streams
+        fused = pallas_decoder.make_decode_fn(hp, variables, compute_dtype)
+        return jax.jit(lambda carry, m, mt, mask, r: fused(carry, m, mt,
+                                                           mask, r))
+
+    def xla_fn(variables, chunk):
+        return jax.jit(lambda carry, m, mt, mask, r: model.apply(
+            variables, carry, m, mt, mask, r, chunk,
+            method=Tacotron.decode_chunk))
+
+    results = {}
+    for text_len, chunk, n_chunks in ((128, 128, 4), (512, 64, 8)):
+        variables, memory, mt, mask, carry = setup(text_len)
+        d_off = decode_fn(variables, False, chunk)
+        d_on = decode_fn(variables, True, chunk)
+        d_xla = xla_fn(variables, chunk)
+        k = jax.random.PRNGKey(7)
+
+        # --- compile + parity on the first chunk (dropout is ON in serving;
+        # both fused paths draw identical counter-hash masks, so their diff
+        # isolates the stream quantization; XLA draws different masks so
+        # that comparison is only a sanity bound)
+        _, (s_off, _) = d_off(carry, memory, mt, mask, k)
+        _, (s_on, _) = d_on(carry, memory, mt, mask, k)   # Mosaic compile
+        _, (s_xla, _) = d_xla(carry, memory, mt, mask, k)
+        s_off, s_on, s_xla = map(np.asarray, (s_off, s_on, s_xla))
+        rel_q = (np.linalg.norm(s_on - s_off)
+                 / max(np.linalg.norm(s_off), 1e-9))
+        rel_x = (np.linalg.norm(s_on - s_xla)
+                 / max(np.linalg.norm(s_xla), 1e-9))
+        print(f"T={text_len}: rel(on,off)={rel_q:.2e}  "
+              f"rel(on,xla)={rel_x:.2e}", flush=True)
+        assert np.isfinite(s_on).all()
+        assert rel_q < 0.05, rel_q
+
+        # --- profiled device time over a chained run
+        def run(fn, seed):
+            kk = jax.random.PRNGKey(seed)
+            c, acc = carry, None
+            for _ in range(n_chunks):
+                kk, sub = jax.random.split(kk)
+                c, (spec, _) = fn(c, memory, mt, mask, sub)
+                s = spec[0, -1, 0]
+                acc = s if acc is None else acc + s
+            return float(acc)
+
+        run(d_off, 1); run(d_on, 1)  # warm
+        steps = n_chunks * chunk
+        us_off = device_us(lambda: run(d_off, 2)) / steps
+        us_on = device_us(lambda: run(d_on, 2)) / steps
+        print(f"T={text_len}: off {us_off:.1f} us/step   "
+              f"on {us_on:.1f} us/step   ({us_off / us_on:.3f}x)",
+              flush=True)
+        results[text_len] = (us_off, us_on, rel_q)
+
+    print(json.dumps({str(k): {"off_us": round(v[0], 2),
+                               "on_us": round(v[1], 2),
+                               "rel": float(v[2])}
+                      for k, v in results.items()}))
+    print("HW VALIDATION OK", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
