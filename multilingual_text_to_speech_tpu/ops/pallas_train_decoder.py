@@ -73,10 +73,15 @@ _MAX_MEMORY_LEN = 256
 
 
 def supports(hp) -> bool:
-    """True if the fused training decode covers this configuration."""
+    """True if the fused training decode covers this configuration.
+
+    Any prenet depth >= 1 is covered (round 3, matching the serving
+    kernel); the attention recurrence is location-sensitive only — the
+    forward family's custom-VJP backward would need new recurrence
+    transposes and every bundled config is location-sensitive."""
     return (
         hp.attention_type == "location_sensitive"
-        and int(getattr(hp, "prenet_layers", 2)) == 2
+        and int(getattr(hp, "prenet_layers", 2)) >= 1
         and hp.decoder_regularization in ("zoneout", "dropout")
     )
 
@@ -117,11 +122,13 @@ def _thresh(keep_rate: float) -> np.uint32:
     return np.uint32(min(int(keep_rate * float(2 ** 32)), 2 ** 32 - 1))
 
 
-# salts: site index within a step (multiplied out by the global step)
-_SALT_PRE0, _SALT_PRE1 = 0, 1
-_SALT_ATT_H, _SALT_ATT_C = 2, 3
-_SALT_GEN_H, _SALT_GEN_C = 4, 5
-_SALT_SITES = 8
+# salts: site index within a step (multiplied out by the global step).
+# Prenet layer i draws at salt i; the four cell-regularization sites follow,
+# so the layout scales with the prenet depth (round 3: any depth >= 1).
+def _salt_layout(n_prenet: int):
+    """(sites_per_step, att_h, att_c, gen_h, gen_c); prenet layer i -> i."""
+    n = int(n_prenet)
+    return n + 4, n, n + 1, n + 2, n + 3
 
 
 class _Cfg:
@@ -129,7 +136,10 @@ class _Cfg:
 
     def __init__(self, *, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                  dropout_rate, zoneout_h, zoneout_c, use_zoneout, dtype,
-                 fwd_chunk, bwd_chunk, train=True):
+                 fwd_chunk, bwd_chunk, train=True, n_prenet=2):
+        self.n_prenet = int(n_prenet)
+        (self.salt_sites, self.salt_att_h, self.salt_att_c,
+         self.salt_gen_h, self.salt_gen_c) = _salt_layout(n_prenet)
         self.t_len = t_len
         self.mem_dim = mem_dim
         self.att_dim = att_dim
@@ -200,24 +210,32 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
     dh_thresh = _thresh(dh_keep)
     dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
 
+    n_pre = cfg.n_prenet
+    sites = cfg.salt_sites
+
     def kernel(*refs):
-        # inputs: 2 SMEM + 6 broadcast/chunk + 7 carry + 11 weights
+        # inputs: 2 SMEM + 6 broadcast/chunk + 7 carry + (2*n_pre+7) weights
         (ctrl_ref, teacher_ref,
          mem_ref, mt_ref, mask_ref, band_ref, vt_ref, shifted_ref,
          h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
-         ctx0_ref, frame0_ref, cum0_ref,
-         pre_w0_ref, pre_b0_ref, pre_w1_ref, pre_b1_ref,
-         att_w_ref, att_b_ref, wq_ref,
-         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = refs[:26]
-        out = refs[26:]
+         ctx0_ref, frame0_ref, cum0_ref) = refs[:15]
+        w_refs = refs[15:15 + 2 * n_pre + 7]
+        pre_w_refs = w_refs[0:2 * n_pre:2]
+        pre_b_refs = w_refs[1:2 * n_pre:2]
+        (att_w_ref, att_b_ref, wq_ref,
+         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = w_refs[2 * n_pre:]
+        out = refs[15 + 2 * n_pre + 7:]
         spec_ref, stop_ref, w_ref = out[:3]
         if cfg.train:
             # residual streams only exist in training mode — the eval/GTA
-            # forward never differentiates, so it skips all 11 HBM streams
+            # forward never differentiates, so it skips all HBM streams
             (r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
-             r_ctx_ref, r_cum_ref, r_x_ref, r_d1_ref, r_raw_ref,
-             r_act_att_ref, r_act_gen_ref) = out[3:14]
-            rest = out[14:]
+             r_ctx_ref, r_cum_ref) = out[3:9]
+            # post-dropout output of each prenet layer, then the raw input
+            r_pre_refs = out[9:9 + n_pre]
+            (r_raw_ref, r_act_att_ref, r_act_gen_ref) = out[9 + n_pre:
+                                                            12 + n_pre]
+            rest = out[12 + n_pre:]
         else:
             rest = out[3:]
         (o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
@@ -253,16 +271,16 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 if cfg.zoneout_h == 0.0 and cfg.zoneout_c == 0.0:
                     return h_new, c_new  # static: no masks to draw
                 bits_h = _rand_bits(h_new.shape, seed0, seed1,
-                                    gs * _SALT_SITES + salt_h)
+                                    gs * sites + salt_h)
                 bits_c = _rand_bits(c_new.shape, seed0, seed1,
-                                    gs * _SALT_SITES + salt_c)
+                                    gs * sites + salt_c)
                 h_out = jnp.where(bits_h < zh_thresh, h_new, h_prev)
                 c_out = jnp.where(bits_c < zc_thresh, c_new, c_prev)
             else:
                 if cfg.zoneout_h == 0.0:
                     return h_new, c_new
                 bits_h = _rand_bits(h_new.shape, seed0, seed1,
-                                    gs * _SALT_SITES + salt_h)
+                                    gs * sites + salt_h)
                 h_out = jnp.where(bits_h < dh_thresh, h_new * dh_scale, 0.0)
                 c_out = c_new
             return h_out, c_out
@@ -277,27 +295,20 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             if cfg.train:
                 r_raw_ref[s] = raw.astype(d)
 
-            # prenet (dropout always on)
-            a1 = _matmul(raw, pre_w0_ref, d) + pre_b0_ref[:]
-            r1 = jax.nn.relu(a1)
-            if cfg.dropout_rate > 0.0:
-                bits = _rand_bits(r1.shape, seed0, seed1,
-                                  gs * _SALT_SITES + _SALT_PRE0)
-                d1 = jnp.where(bits < pre_thresh, r1 * pre_scale, 0.0)
-            else:
-                d1 = r1
-            if cfg.train:
-                r_d1_ref[s] = d1.astype(d)
-            a2 = _matmul(d1, pre_w1_ref, d) + pre_b1_ref[:]
-            r2 = jax.nn.relu(a2)
-            if cfg.dropout_rate > 0.0:
-                bits = _rand_bits(r2.shape, seed0, seed1,
-                                  gs * _SALT_SITES + _SALT_PRE1)
-                x = jnp.where(bits < pre_thresh, r2 * pre_scale, 0.0)
-            else:
-                x = r2
-            if cfg.train:
-                r_x_ref[s] = x.astype(d)
+            # prenet (dropout always on); layer i draws at salt i
+            x = raw
+            for layer in range(n_pre):
+                a = (_matmul(x, pre_w_refs[layer], d)
+                     + pre_b_refs[layer][:])
+                r = jax.nn.relu(a)
+                if cfg.dropout_rate > 0.0:
+                    bits = _rand_bits(r.shape, seed0, seed1,
+                                      gs * sites + layer)
+                    x = jnp.where(bits < pre_thresh, r * pre_scale, 0.0)
+                else:
+                    x = r
+                if cfg.train:
+                    r_pre_refs[layer][s] = x.astype(d)
 
             # attention LSTM
             att_in_ref[:, :prenet_dim] = x.astype(d)
@@ -312,7 +323,7 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 r_act_att_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_att, c_att = cell_update(
                 o_h_att_ref[:], o_c_att_ref[:], h_new, c_new, gs,
-                _SALT_ATT_H, _SALT_ATT_C)
+                cfg.salt_att_h, cfg.salt_att_c)
             o_h_att_ref[:] = h_att
             o_c_att_ref[:] = c_att
             if cfg.train:
@@ -353,7 +364,7 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 r_act_gen_ref[s] = jnp.concatenate(acts, axis=1).astype(d)
             h_gen, c_gen = cell_update(
                 o_h_gen_ref[:], o_c_gen_ref[:], h_new, c_new, gs,
-                _SALT_GEN_H, _SALT_GEN_C)
+                cfg.salt_gen_h, cfg.salt_gen_c)
             o_h_gen_ref[:] = h_gen
             o_c_gen_ref[:] = c_gen
             if cfg.train:
@@ -396,31 +407,42 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
     dh_thresh = _thresh(dh_keep)
     dh_scale = 1.0 / dh_keep if dh_keep > 0.0 else 0.0
 
-    def kernel(ctrl_ref, teacher_ref,
-               # broadcast operands
-               mem_ref, mt_ref, band_ref, vt_ref,
-               # weights (transpose-matmuls only; no gate recompute)
-               pre_w0_ref, pre_w1_ref,
-               att_w_ref, wq_ref, gen_w_ref, head_w_ref,
-               # fwd residual streams for this chunk
-               r_h_att_ref, r_c_att_ref, r_c_gen_ref,
-               r_cum_ref, r_x_ref, r_d1_ref,
-               r_act_att_ref, r_act_gen_ref, r_w_ref,
-               # chunk-entry cell states (the carry that ENTERED this chunk)
-               c_att0_ref, c_gen0_ref,
-               # output cotangent streams
-               dspec_ref, dstop_ref, dw_out_ref,
-               # incoming cotangent carry (from the chunk after this one)
-               i_dh_att_ref, i_dc_att_ref, i_dh_gen_ref, i_dc_gen_ref,
-               i_dctx_ref, i_dcum_ref, i_dframe_ref,
-               # outputs: per-step grad streams
-               dg_att_ref, dg_gen_ref, da_frame_ref,
-               da1_ref, da2_ref, dctx_out_ref, dshift_ref,
-               # outputs: f32 accumulators (summed over chunks outside)
-               dmt_acc_ref, dband_acc_ref, dvt_acc_ref, dwq_acc_ref,
-               # outputs: outgoing cotangent carry
-               o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
-               o_dctx_ref, o_dcum_ref, o_dframe_ref):
+    n_pre = cfg.n_prenet
+    sites = cfg.salt_sites
+
+    def kernel(*refs):
+        it = iter(refs)
+
+        def take(n):
+            return tuple(next(it) for _ in range(n))
+
+        ctrl_ref, teacher_ref = take(2)
+        # broadcast operands
+        mem_ref, mt_ref, band_ref, vt_ref = take(4)
+        # weights (transpose-matmuls only; no gate recompute)
+        pre_w_refs = take(n_pre)
+        att_w_ref, wq_ref, gen_w_ref, head_w_ref = take(4)
+        # fwd residual streams for this chunk
+        r_h_att_ref, r_c_att_ref, r_c_gen_ref, r_cum_ref = take(4)
+        r_pre_refs = take(n_pre)  # post-dropout output of each prenet layer
+        r_act_att_ref, r_act_gen_ref, r_w_ref = take(3)
+        # chunk-entry cell states (the carry that ENTERED this chunk)
+        c_att0_ref, c_gen0_ref = take(2)
+        # output cotangent streams
+        dspec_ref, dstop_ref, dw_out_ref = take(3)
+        # incoming cotangent carry (from the chunk after this one)
+        (i_dh_att_ref, i_dc_att_ref, i_dh_gen_ref, i_dc_gen_ref,
+         i_dctx_ref, i_dcum_ref, i_dframe_ref) = take(7)
+        # outputs: per-step grad streams
+        dg_att_ref, dg_gen_ref, da_frame_ref = take(3)
+        da_pre_refs = take(n_pre)  # pre-relu grad of each prenet layer
+        dctx_out_ref, dshift_ref = take(2)
+        # outputs: f32 accumulators (summed over chunks outside)
+        dmt_acc_ref, dband_acc_ref, dvt_acc_ref, dwq_acc_ref = take(4)
+        # outputs: outgoing cotangent carry
+        (o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
+         o_dctx_ref, o_dcum_ref, o_dframe_ref) = take(7)
+        assert next(it, None) is None, "unconsumed kernel refs"
         seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
         seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
         chunk_start = ctrl_ref[0, 2]
@@ -438,7 +460,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
         dwq_acc_ref[:] = jnp.zeros_like(dwq_acc_ref)
 
         def masks(shape, gs, salt):
-            return _rand_bits(shape, seed0, seed1, gs * _SALT_SITES + salt)
+            return _rand_bits(shape, seed0, seed1, gs * sites + salt)
 
         def cell_backward(dh_tot, dc_tot, acts, c_prev, gs, salt_h, salt_c):
             """Shared LSTM+regularization backward over the STORED
@@ -520,7 +542,7 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             dgates_g, dh_prev_reg_g, dc_prev_g = cell_backward(
                 dh_gen_tot, o_dc_gen_ref[:],
                 r_act_gen_ref[s].astype(jnp.float32), c_gen_prev, gs,
-                _SALT_GEN_H, _SALT_GEN_C)
+                cfg.salt_gen_h, cfg.salt_gen_c)
             dg_gen_ref[s] = dgates_g.astype(d)
             dcat_g = _matmul(dgates_g, gen_w_ref, d, contract=(1, 1))
             dh_att_tot = o_dh_att_ref[:] + dcat_g[:, :hidden]
@@ -567,11 +589,10 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             o_dcum_ref[:] += _matmul(dz, band_ref, d, contract=(1, 1))
 
             # ---- attention LSTM ----------------------------------------
-            x_s = r_x_ref[s].astype(jnp.float32)
             dgates_a, dh_prev_reg_a, dc_prev_a = cell_backward(
                 dh_att_tot, o_dc_att_ref[:],
                 r_act_att_ref[s].astype(jnp.float32), c_att_prev, gs,
-                _SALT_ATT_H, _SALT_ATT_C)
+                cfg.salt_att_h, cfg.salt_att_c)
             dg_att_ref[s] = dgates_a.astype(d)
             dcat_a = _matmul(dgates_a, att_w_ref, d, contract=(1, 1))
             dx = dcat_a[:, :prenet_dim]
@@ -581,14 +602,16 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                                         p_pad + m_pad + hidden])
             o_dc_att_ref[:] = dc_prev_a
 
-            # ---- prenet -------------------------------------------------
-            da2 = jnp.where(x_s > 0.0, dx * pre_scale, 0.0)
-            da2_ref[s] = da2.astype(d)
-            dd1 = _matmul(da2, pre_w1_ref, d, contract=(1, 1))
-            d1_s = r_d1_ref[s].astype(jnp.float32)
-            da1 = jnp.where(d1_s > 0.0, dd1 * pre_scale, 0.0)
-            da1_ref[s] = da1.astype(d)
-            draw = _matmul(da1, pre_w0_ref, d, contract=(1, 1))
+            # ---- prenet (layers in reverse) -----------------------------
+            # post-dropout output > 0 <=> relu passed AND the unit was
+            # kept, so one where() replays both masks; * pre_scale replays
+            # the kept-unit scaling (pre_scale == 1 when dropout is off)
+            for layer in range(n_pre - 1, -1, -1):
+                out_l = r_pre_refs[layer][s].astype(jnp.float32)
+                da_l = jnp.where(out_l > 0.0, dx * pre_scale, 0.0)
+                da_pre_refs[layer][s] = da_l.astype(d)
+                dx = _matmul(da_l, pre_w_refs[layer], d, contract=(1, 1))
+            draw = dx
             dshift_ref[s] = jnp.where(teacher > 0, draw, 0.0).astype(d)
             o_dframe_ref[:] = jnp.where(teacher > 0, 0.0, draw)
             return 0
@@ -615,6 +638,7 @@ def _make_cfg(hp, *, t_len: int, mem_dim: int, att_dim: int, dtype,
         t_len=t_len, mem_dim=mem_dim, att_dim=att_dim,
         hidden=int(hp.decoder_dimension), mmel=int(hp.num_mels),
         prenet_dim=int(hp.prenet_dimension),
+        n_prenet=int(getattr(hp, "prenet_layers", 2)),
         dropout_rate=float(hp.dropout),
         zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
         dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
@@ -644,7 +668,8 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         cfg.att_in * 4 * cfg.hidden        # att_w
         + cfg.gen_in * 4 * cfg.hidden      # gen_w
         + cfg.head_in * (cfg.mmel + 1)     # head_w
-        + cfg.mmel * cfg.prenet_dim + cfg.prenet_dim * cfg.prenet_dim
+        + cfg.mmel * cfg.prenet_dim        # prenet layer 0
+        + (cfg.n_prenet - 1) * cfg.prenet_dim * cfg.prenet_dim
         + cfg.hidden * a                   # wq
         + t * at                           # band
         + bb * at                          # mt_am
@@ -655,17 +680,20 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         fixed += 4 * (bb * at + t * at + at + cfg.hidden * a)  # f32 accs
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
-        # residual reads: h_att, c_att, c_gen, cum, x, d1, acts x2
+        # residual reads: h_att, c_att, c_gen, cum, prenet outs, acts x2
         per_step = esize * bb * (
-            3 * cfg.hidden + t + 2 * cfg.prenet_dim + 8 * cfg.hidden)
-        # grad writes: dgates x2, da_frame, da1, da2, dctx, dshift
+            3 * cfg.hidden + t + cfg.n_prenet * cfg.prenet_dim
+            + 8 * cfg.hidden)
+        # grad writes: dgates x2, da_frame, per-layer da, dctx, dshift
         per_step += esize * bb * (8 * cfg.hidden + 2 * cfg.mmel
-                                  + 2 * cfg.prenet_dim + cfg.mem_dim)
+                                  + cfg.n_prenet * cfg.prenet_dim
+                                  + cfg.mem_dim)
         per_step += 4 * bb * (cfg.mmel + 1 + t + t)  # dspec/dstop/dw_out + w
     elif cfg.train:
         # residual writes incl. the two activation streams
         per_step = esize * bb * (
-            4 * cfg.hidden + cfg.mem_dim + t + 2 * cfg.prenet_dim
+            4 * cfg.hidden + cfg.mem_dim + t
+            + cfg.n_prenet * cfg.prenet_dim
             + cfg.mmel + 8 * cfg.hidden)
         per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
     else:
@@ -678,10 +706,16 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
     return max(s, 1)
 
 
-_WEIGHT_ORDER = ("pre_w0", "pre_b0", "pre_w1", "pre_b1",
-                 "att_w", "att_b", "wq", "gen_w", "gen_b",
-                 "head_w", "head_b")
-_BWD_WEIGHT_ORDER = ("pre_w0", "pre_w1", "att_w", "wq", "gen_w", "head_w")
+def _weight_order(n_prenet: int):
+    pre = tuple(k for i in range(n_prenet)
+                for k in (f"pre_w{i}", f"pre_b{i}"))
+    return pre + ("att_w", "att_b", "wq", "gen_w", "gen_b",
+                  "head_w", "head_b")
+
+
+def _bwd_weight_order(n_prenet: int):
+    return (tuple(f"pre_w{i}" for i in range(n_prenet))
+            + ("att_w", "wq", "gen_w", "head_w"))
 
 _VMEM_LIMIT = 128 * 1024 * 1024
 
@@ -699,8 +733,9 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, hid), d),      # r_c_gen
         jax.ShapeDtypeStruct((steps, b, mem), d),      # r_ctx
         jax.ShapeDtypeStruct((steps, b, t), d),        # r_cum
-        jax.ShapeDtypeStruct((steps, b, p), d),        # r_x
-        jax.ShapeDtypeStruct((steps, b, p), d),        # r_d1
+        # post-dropout output of each prenet layer, in layer order
+        *(jax.ShapeDtypeStruct((steps, b, p), d)
+          for _ in range(cfg.n_prenet)),
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # r_raw
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_att
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_gen
@@ -718,7 +753,8 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, mmel), f32),
         jax.ShapeDtypeStruct((b, t), f32),
     )
-    n_vmem_in = 6 + 7 + len(_WEIGHT_ORDER)  # broadcast+shifted, carry, weights
+    # broadcast+shifted, carry, weights
+    n_vmem_in = 6 + 7 + len(_weight_order(cfg.n_prenet))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -746,8 +782,9 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_att
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_gen
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # da_frame
-        jax.ShapeDtypeStruct((steps, b, p), d),        # da1
-        jax.ShapeDtypeStruct((steps, b, p), d),        # da2
+        # pre-relu grad of each prenet layer, in layer order
+        *(jax.ShapeDtypeStruct((steps, b, p), d)
+          for _ in range(cfg.n_prenet)),
         jax.ShapeDtypeStruct((steps, b, mem), d),      # dctx_out
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # dshift
         jax.ShapeDtypeStruct((b, a * t), f32),         # dmt_acc
@@ -762,9 +799,10 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, t), f32),
         jax.ShapeDtypeStruct((b, mmel), f32),
     )
-    # 4 broadcast + weights + 9 residual streams + 2 entry cell states
-    # + 3 cotangent streams + 7 carry
-    n_vmem_in = (4 + len(_BWD_WEIGHT_ORDER) + 9 + 2 + 3 + 7)
+    # 4 broadcast + weights + (7 + n_prenet) residual streams
+    # + 2 entry cell states + 3 cotangent streams + 7 carry
+    n_vmem_in = (4 + len(_bwd_weight_order(cfg.n_prenet))
+                 + 7 + cfg.n_prenet + 2 + 3 + 7)
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -820,9 +858,10 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         s_chunk = _chunk_size(f, cap)
         call = _fwd_call(cfg, s_chunk, b, interpret)
         w_ops = []
-        for k in _WEIGHT_ORDER:
+        for k in _weight_order(cfg.n_prenet):
             v = ops[k]
-            w_ops.append(v.astype(jnp.float32) if k.endswith(("b0", "b1"))
+            w_ops.append(v.astype(jnp.float32)
+                         if k.startswith("pre_b")
                          or k in ("att_b", "gen_b", "head_b") else
                          v.astype(d))
         mem_d = memory.astype(d)
@@ -843,7 +882,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 *carry,
                 *w_ops,
             )
-            n_streams = 14 if cfg.train else 3
+            n_streams = (12 + cfg.n_prenet) if cfg.train else 3
             per_chunk.append(out[:n_streams])
             carry = out[n_streams:]
         streams = [jnp.concatenate(parts, axis=0)
@@ -852,9 +891,11 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             spec, stop, w_seq = streams
             return (spec, stop, w_seq), None
         (spec, stop, w_seq, r_h_att, r_c_att, r_h_gen, r_c_gen,
-         r_ctx, r_cum, r_x, r_d1, r_raw, r_act_att, r_act_gen) = streams
+         r_ctx, r_cum) = streams[:9]
+        r_pre = tuple(streams[9:9 + cfg.n_prenet])
+        r_raw, r_act_att, r_act_gen = streams[9 + cfg.n_prenet:]
         residuals = (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-                     r_x, r_d1, r_raw, r_act_att, r_act_gen, w_seq)
+                     r_pre, r_raw, r_act_att, r_act_gen, w_seq)
         return (spec, stop, w_seq), residuals
 
     def core(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
@@ -884,7 +925,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         (ops, memory, teacher, seeds, init_carry, residuals) = res
         dspec, dstop, dw_out = cts
         (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-         r_x, r_d1, r_raw, r_act_att, r_act_gen, w_seq) = residuals
+         r_pre, r_raw, r_act_att, r_act_gen, w_seq) = residuals
         f = teacher.shape[0]
         b = memory.shape[0]
         cap = _vmem_chunk(cfg, b, cfg.bwd_chunk, True)
@@ -898,7 +939,8 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         s_chunk = _chunk_size(f, cap)
         call = _bwd_call(cfg, s_chunk, b, interpret)
 
-        w_ops = {k: ops[k].astype(d) for k in _BWD_WEIGHT_ORDER}
+        bwd_order = _bwd_weight_order(cfg.n_prenet)
+        w_ops = {k: ops[k].astype(d) for k in bwd_order}
         mem_d = memory.astype(d)
         band, vt, mt_am = (ops["band"].astype(d),
                            ops["vt"].astype(jnp.float32),
@@ -929,23 +971,26 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             out = call(
                 ctrl, t_chunk,
                 mem_d, mt_am, band, vt,
-                *(w_ops[kk] for kk in _BWD_WEIGHT_ORDER),
+                *(w_ops[kk] for kk in bwd_order),
                 r_h_att[lo:hi], r_c_att[lo:hi], r_c_gen[lo:hi],
-                r_cum[lo:hi], r_x[lo:hi], r_d1[lo:hi],
+                r_cum[lo:hi], *(rp[lo:hi] for rp in r_pre),
                 r_act_att[lo:hi], r_act_gen[lo:hi], w_seq[lo:hi],
                 *entry,
                 dspec[lo:hi], dstop[lo:hi], dw_out[lo:hi],
                 *dcarry,
             )
-            per_chunk[k] = out[:7]
-            chunk_accs = out[7:11]
+            n_streams = 5 + cfg.n_prenet
+            per_chunk[k] = out[:n_streams]
+            chunk_accs = out[n_streams:n_streams + 4]
             accs = (chunk_accs if accs is None else
                     tuple(a + c for a, c in zip(accs, chunk_accs)))
-            dcarry = out[11:]
+            dcarry = out[n_streams + 4:]
 
         streams = [jnp.concatenate(parts, axis=0)
                    for parts in zip(*per_chunk)]
-        (dg_att, dg_gen, da_frame, da1, da2, dctx_seq, dshift) = streams
+        dg_att, dg_gen, da_frame = streams[:3]
+        da_pre = streams[3:3 + cfg.n_prenet]
+        dctx_seq, dshift = streams[3 + cfg.n_prenet:]
         dmt_am, dband, dvt, dwq = accs
 
         # ---- weight gradients: large MXU matmuls over stored streams ----
@@ -966,7 +1011,7 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 preferred_element_type=jnp.float32)
 
         cat_att = _pad_cat(
-            [r_x, shift1(r_ctx, ctx0), shift1(r_h_att, h0)],
+            [r_pre[-1], shift1(r_ctx, ctx0), shift1(r_h_att, h0)],
             [p, mem, hid], [p_pad, m_pad, h_pad], d)
         d_att_w = wgrad(cat_att, dg_att)
         d_att_b = jnp.sum(dg_att.astype(jnp.float32), axis=(0, 1))[None, :]
@@ -983,18 +1028,21 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         d_head_w = wgrad(cat_head, dfv)
         d_head_b = jnp.sum(dfv.astype(jnp.float32), axis=(0, 1))[None, :]
 
-        d_pre_w0 = wgrad(r_raw, da1)
-        d_pre_b0 = jnp.sum(da1.astype(jnp.float32), axis=(0, 1))[None, :]
-        d_pre_w1 = wgrad(r_d1, da2)
-        d_pre_b1 = jnp.sum(da2.astype(jnp.float32), axis=(0, 1))[None, :]
+        # prenet layer i's input is r_raw (i=0) or the previous layer's
+        # post-dropout output
+        d_pre = {}
+        for i in range(cfg.n_prenet):
+            inp = r_raw if i == 0 else r_pre[i - 1]
+            d_pre[f"pre_w{i}"] = wgrad(inp, da_pre[i])
+            d_pre[f"pre_b{i}"] = jnp.sum(
+                da_pre[i].astype(jnp.float32), axis=(0, 1))[None, :]
 
         d_memory = jnp.einsum(
             "sbt,sbm->btm", w_seq.astype(jnp.float32),
             dctx_seq.astype(jnp.float32))
 
         d_ops = {
-            "pre_w0": d_pre_w0, "pre_b0": d_pre_b0,
-            "pre_w1": d_pre_w1, "pre_b1": d_pre_b1,
+            **d_pre,
             "att_w": d_att_w, "att_b": d_att_b, "wq": dwq,
             "gen_w": d_gen_w, "gen_b": d_gen_b,
             "head_w": d_head_w, "head_b": d_head_b,
@@ -1059,7 +1107,7 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
         vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
         mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim,
                             t_len, jnp.float32)
-        ops = {k: bundle[k] for k in _WEIGHT_ORDER}
+        ops = {k: bundle[k] for k in _weight_order(cfg.n_prenet)}
         ops.update(band=band, vt=vt, mt_am=mt_am)
 
         mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)

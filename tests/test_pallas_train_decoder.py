@@ -31,12 +31,13 @@ from multilingual_text_to_speech_tpu.ops import pallas_train_decoder as ptd
 from tests.corpus_utils import tiny_model_hp
 
 
-def make_hp(regularization="zoneout", stochastic=False):
+def make_hp(regularization="zoneout", stochastic=False, prenet_layers=2):
     hp = tiny_model_hp(
         multi_speaker=True, multi_language=True, speaker_number=4,
         language_number=2, languages=["de", "fr"],
         decoder_regularization=regularization)
     hp.attention_type = "location_sensitive"
+    hp.prenet_layers = prenet_layers
     if stochastic:
         hp.dropout = 0.5
         hp.zoneout_hidden = 0.1
@@ -94,9 +95,13 @@ def test_forward_parity_vs_xla(monkeypatch, ratio):
             err_msg=f"ratio={ratio} key={k}")
 
 
-@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
-def test_grad_parity_vs_xla(monkeypatch, regularization):
-    hp = make_hp(regularization)
+@pytest.mark.parametrize("regularization,prenet_layers",
+                         [("zoneout", 2), ("dropout", 2),
+                          ("zoneout", 1), ("zoneout", 3)])
+def test_grad_parity_vs_xla(monkeypatch, regularization, prenet_layers):
+    """Prenet depths 1 and 3 ride the same check (round 3: the train
+    kernel covers any depth >= 1, matching the serving kernel)."""
+    hp = make_hp(regularization, prenet_layers=prenet_layers)
     model, variables, args = build(hp)
     (text, lengths, target, tlen, speakers, languages) = args
 
@@ -156,9 +161,13 @@ def replica_decode(hp, cell_params, memory, mt, mask, shifted, teacher,
     att_bias = p["attention"]["bias"]
     v = p["attention"]["energy_kernel"]
 
+    n_prenet = int(getattr(hp, "prenet_layers", 2))
+    (sites, salt_att_h, salt_att_c,
+     salt_gen_h, salt_gen_c) = ptd._salt_layout(n_prenet)
+
     def bits(shape, gs, salt):
         return ptd._rand_bits(shape, seed0, seed1,
-                              jnp.asarray(gs * ptd._SALT_SITES + salt))
+                              jnp.asarray(gs * sites + salt))
 
     def lstm(gates, c):
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -187,27 +196,22 @@ def replica_decode(hp, cell_params, memory, mt, mask, shifted, teacher,
     specs, stops, ws = [], [], []
     for s in range(frames):
         raw = jnp.where(teacher[s], shifted[:, s], frame)
-        a1 = raw @ p["prenet"]["fc0"]["kernel"] + p["prenet"]["fc0"]["bias"]
-        r1 = jax.nn.relu(a1)
-        if hp.dropout > 0:
-            d1 = jnp.where(bits(r1.shape, s, ptd._SALT_PRE0) < pre_thresh,
-                           r1 * pre_scale, 0.0)
-        else:
-            d1 = r1
-        a2 = d1 @ p["prenet"]["fc1"]["kernel"] + p["prenet"]["fc1"]["bias"]
-        r2 = jax.nn.relu(a2)
-        if hp.dropout > 0:
-            x = jnp.where(bits(r2.shape, s, ptd._SALT_PRE1) < pre_thresh,
-                          r2 * pre_scale, 0.0)
-        else:
-            x = r2
+        x = raw
+        for layer in range(n_prenet):
+            fc = p["prenet"][f"fc{layer}"]
+            r = jax.nn.relu(x @ fc["kernel"] + fc["bias"])
+            if hp.dropout > 0:
+                x = jnp.where(bits(r.shape, s, layer) < pre_thresh,
+                              r * pre_scale, 0.0)
+            else:
+                x = r
 
         cat = jnp.concatenate([x, ctx, h_att], axis=-1)
         gates = (cat @ p["attention_lstm"]["cell"]["gates"]["kernel"]
                  + p["attention_lstm"]["cell"]["gates"]["bias"])
         h_new, c_new = lstm(gates, c_att)
         h_att, c_att = reg(h_att, c_att, h_new, c_new, s,
-                           ptd._SALT_ATT_H, ptd._SALT_ATT_C)
+                           salt_att_h, salt_att_c)
 
         q = (h_att @ wq)[:, None, :]
         loc = jax.lax.conv_general_dilated(
@@ -225,7 +229,7 @@ def replica_decode(hp, cell_params, memory, mt, mask, shifted, teacher,
                  + p["generator_lstm"]["cell"]["gates"]["bias"])
         h_new, c_new = lstm(gates, c_gen)
         h_gen, c_gen = reg(h_gen, c_gen, h_new, c_new, s,
-                           ptd._SALT_GEN_H, ptd._SALT_GEN_C)
+                           salt_gen_h, salt_gen_c)
 
         proto = jnp.concatenate([h_gen, ctx], axis=-1)
         frame = (proto @ p["frame_prediction"]["kernel"]
@@ -238,11 +242,14 @@ def replica_decode(hp, cell_params, memory, mt, mask, shifted, teacher,
     return (jnp.stack(specs, 1), jnp.stack(stops, 1), jnp.stack(ws, 1))
 
 
-@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
-def test_stochastic_parity_vs_replica(regularization):
+@pytest.mark.parametrize("regularization,prenet_layers",
+                         [("zoneout", 2), ("dropout", 2), ("zoneout", 3)])
+def test_stochastic_parity_vs_replica(regularization, prenet_layers):
     """Active dropout/zoneout: the fused kernel and the pure-JAX replica
-    draw identical masks, so outputs AND gradients must agree."""
-    hp = make_hp(regularization, stochastic=True)
+    draw identical masks, so outputs AND gradients must agree.  Depth 3
+    exercises the per-layer prenet salt layout (round 3)."""
+    hp = make_hp(regularization, stochastic=True,
+                 prenet_layers=prenet_layers)
     model, variables, args = build(hp)
     (text, lengths, target, tlen, speakers, languages) = args
     b, t_len, frames = text.shape[0], text.shape[1], target.shape[1]
@@ -265,7 +272,8 @@ def test_stochastic_parity_vs_replica(regularization):
         cfg = ptd._Cfg(
             t_len=t_len, mem_dim=mem_.shape[-1], att_dim=mt_.shape[-1],
             hidden=hp.decoder_dimension, mmel=hp.num_mels,
-            prenet_dim=hp.prenet_dimension, dropout_rate=hp.dropout,
+            prenet_dim=hp.prenet_dimension,
+            n_prenet=int(hp.prenet_layers), dropout_rate=hp.dropout,
             zoneout_h=(hp.zoneout_hidden if regularization == "zoneout"
                        else hp.dropout_hidden),
             zoneout_c=(hp.zoneout_cell if regularization == "zoneout"
@@ -281,7 +289,8 @@ def test_stochastic_parity_vs_replica(regularization):
         vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
         mt_am = ptd._mt_operand(bundle, mt_, t_len, att_dim, t_len,
                                 jnp.float32)
-        ops = {k: bundle[k] for k in ptd._WEIGHT_ORDER}
+        ops = {k: bundle[k]
+               for k in ptd._weight_order(int(hp.prenet_layers))}
         ops.update(band=band, vt=vt, mt_am=mt_am)
         mask_add = jnp.where(mask, 0.0, ptd._NEG_INF).astype(jnp.float32)
         f32 = jnp.float32
