@@ -39,9 +39,13 @@ original parameters (loc_filter, energy_kernel, biases, unpadded gate
 kernels) flow out of the returned operand cotangents automatically.
 
 Step math mirrors models/decoder.py::DecoderCell (reference loop body,
-tacotron2.py:180-198) with location-sensitive attention
-(modules/attention.py:39-45,67-86); forward/gradient parity vs the XLA scan
-and finite differences is asserted in tests/test_pallas_train_decoder.py.
+tacotron2.py:180-198) with all three attention families: location-sensitive
+(modules/attention.py:39-45,67-86) via the banded conv fold, and forward /
+forward-with-transition-agent (modules/attention.py:89-156) via the static
+[T, T] shift-matrix recurrence whose masked clamp+renorm and softmax stages
+are replayed and transposed in the backward kernel.  Forward/gradient
+parity vs the XLA scan and finite differences is asserted in
+tests/test_pallas_train_decoder.py.
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
+    _LANES,
     _NEG_INF,
     _band_blocks,
     _chunk_tree_sum,
@@ -62,6 +67,7 @@ from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
     _q_broadcast,
     _r128,
     _rand_bits,
+    _tile_lanes,
     extract_decoder_bundle,
 )
 
@@ -72,15 +78,23 @@ from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
 _MAX_MEMORY_LEN = 256
 
 
+_ATT_KINDS = {
+    "location_sensitive": "ls",
+    "forward": "fwd",
+    "forward_transition_agent": "fwd_trans",
+}
+
+
 def supports(hp) -> bool:
     """True if the fused training decode covers this configuration.
 
-    Any prenet depth >= 1 is covered (round 3, matching the serving
-    kernel); the attention recurrence is location-sensitive only — the
-    forward family's custom-VJP backward would need new recurrence
-    transposes and every bundled config is location-sensitive."""
+    Round 3 closed the fallback matrix: any prenet depth >= 1 and all
+    three attention families (location-sensitive via the banded conv
+    fold; forward / forward-with-transition-agent via the shift-matrix
+    recurrence with its masked clamp+renorm transposed in the custom-VJP
+    backward), matching the serving kernel."""
     return (
-        hp.attention_type == "location_sensitive"
+        hp.attention_type in _ATT_KINDS
         and int(getattr(hp, "prenet_layers", 2)) >= 1
         and hp.decoder_regularization in ("zoneout", "dropout")
     )
@@ -136,7 +150,11 @@ class _Cfg:
 
     def __init__(self, *, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                  dropout_rate, zoneout_h, zoneout_c, use_zoneout, dtype,
-                 fwd_chunk, bwd_chunk, train=True, n_prenet=2):
+                 fwd_chunk, bwd_chunk, train=True, n_prenet=2,
+                 att_kind="ls"):
+        assert att_kind in ("ls", "fwd", "fwd_trans"), att_kind
+        self.att_kind = att_kind
+        self.fwd_trans = att_kind == "fwd_trans"
         self.n_prenet = int(n_prenet)
         (self.salt_sites, self.salt_att_h, self.salt_att_c,
          self.salt_gen_h, self.salt_gen_c) = _salt_layout(n_prenet)
@@ -214,33 +232,45 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
     sites = cfg.salt_sites
 
     def kernel(*refs):
-        # inputs: 2 SMEM + 6 broadcast/chunk + 7 carry + (2*n_pre+7) weights
-        (ctrl_ref, teacher_ref,
-         mem_ref, mt_ref, mask_ref, band_ref, vt_ref, shifted_ref,
-         h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
-         ctx0_ref, frame0_ref, cum0_ref) = refs[:15]
-        w_refs = refs[15:15 + 2 * n_pre + 7]
-        pre_w_refs = w_refs[0:2 * n_pre:2]
-        pre_b_refs = w_refs[1:2 * n_pre:2]
+        it = iter(refs)
+
+        def take(n):
+            return tuple(next(it) for _ in range(n))
+
+        ctrl_ref, teacher_ref = take(2)
+        # broadcast/chunk operands
+        (mem_ref, mt_ref, mask_ref, band_ref, vt_ref,
+         shifted_ref) = take(6)
+        # carry in
+        (h_att0_ref, c_att0_ref, h_gen0_ref, c_gen0_ref,
+         ctx0_ref, frame0_ref, cum0_ref) = take(7)
+        tp0_ref = take(1)[0] if cfg.fwd_trans else None
+        # weights
+        pre_pairs = take(2 * n_pre)
+        pre_w_refs = pre_pairs[0::2]
+        pre_b_refs = pre_pairs[1::2]
         (att_w_ref, att_b_ref, wq_ref,
-         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = w_refs[2 * n_pre:]
-        out = refs[15 + 2 * n_pre + 7:]
-        spec_ref, stop_ref, w_ref = out[:3]
+         gen_w_ref, gen_b_ref, head_w_ref, head_b_ref) = take(7)
+        if cfg.fwd_trans:  # transition-agent rows + lane-replicated bias
+            ta_wc_ref, ta_wq_ref, ta_wx_ref, ta_b_ref = take(4)
+        # outputs
+        spec_ref, stop_ref, w_ref = take(3)
         if cfg.train:
             # residual streams only exist in training mode — the eval/GTA
             # forward never differentiates, so it skips all HBM streams
             (r_h_att_ref, r_c_att_ref, r_h_gen_ref, r_c_gen_ref,
-             r_ctx_ref, r_cum_ref) = out[3:9]
+             r_ctx_ref, r_cum_ref) = take(6)
             # post-dropout output of each prenet layer, then the raw input
-            r_pre_refs = out[9:9 + n_pre]
-            (r_raw_ref, r_act_att_ref, r_act_gen_ref) = out[9 + n_pre:
-                                                            12 + n_pre]
-            rest = out[12 + n_pre:]
-        else:
-            rest = out[3:]
+            r_pre_refs = take(n_pre)
+            (r_raw_ref, r_act_att_ref, r_act_gen_ref) = take(3)
+            r_tp_ref = take(1)[0] if cfg.fwd_trans else None
+        # carry out
         (o_h_att_ref, o_c_att_ref, o_h_gen_ref, o_c_gen_ref,
-         o_ctx_ref, o_frame_ref, o_cum_ref,
-         att_in_ref, gen_in_ref, head_in_ref) = rest
+         o_ctx_ref, o_frame_ref, o_cum_ref) = take(7)
+        o_tp_ref = take(1)[0] if cfg.fwd_trans else None
+        # scratch
+        att_in_ref, gen_in_ref, head_in_ref = take(3)
+        assert next(it, None) is None, "unconsumed kernel refs"
         seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
         seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
         chunk_start = ctrl_ref[0, 2]
@@ -252,6 +282,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
         o_ctx_ref[:] = ctx0_ref[:]
         o_frame_ref[:] = frame0_ref[:]
         o_cum_ref[:] = cum0_ref[:]
+        if cfg.fwd_trans:
+            o_tp_ref[:] = tp0_ref[:]
         att_in_ref[:] = jnp.zeros_like(att_in_ref)
         gen_in_ref[:] = jnp.zeros_like(gen_in_ref)
         head_in_ref[:] = jnp.zeros_like(head_in_ref)
@@ -330,28 +362,73 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 r_h_att_ref[s] = h_att.astype(d)
                 r_c_att_ref[s] = c_att.astype(d)
 
-            # location-sensitive attention (A-major folded layout; the
-            # query broadcast and v-reduction run on the VPU like the
-            # serving kernel — round-3 ablation showed the matmul folds
-            # VMEM-traffic bound on their qe/red operand streams)
+            # attention (A-major folded layout; the query broadcast and
+            # v-reduction run on the VPU like the serving kernel —
+            # round-3 ablation showed the matmul folds VMEM-traffic bound
+            # on their qe/red operand streams).  ``cum`` carries the
+            # recurrence state: cumulative weights (location-sensitive)
+            # or the previous step's weights (forward family).
             if cfg.train:
-                r_cum_ref[s] = cum.astype(d)  # cum BEFORE this step's update
+                r_cum_ref[s] = cum.astype(d)  # state BEFORE this step
             q = _matmul(h_att, wq_ref, d).astype(d)
-            loc = _matmul(cum, band_ref, d).astype(d)
             qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
-            tz = jnp.tanh(loc + qt + mt_ref[:])
+            if cfg.att_kind == "ls":
+                loc = _matmul(cum, band_ref, d).astype(d)
+                tz = jnp.tanh(loc + qt + mt_ref[:])
+            else:
+                # forward family: same energy net, no location conv
+                tz = jnp.tanh(qt + mt_ref[:])
             e = _chunk_tree_sum(
-                tz.astype(jnp.float32) * vt_ref[:], cfg.t_len) + mask_add
+                tz.astype(jnp.float32) * vt_ref[:], cfg.t_len)
+            if cfg.att_kind == "ls":
+                e = e + mask_add
             e = e - jnp.max(e, axis=-1, keepdims=True)
             p = jnp.exp(e)
-            w = p / jnp.sum(p, axis=-1, keepdims=True)
+            if cfg.att_kind == "ls":
+                w = p / jnp.sum(p, axis=-1, keepdims=True)
+                new_state = cum + w
+            else:
+                # forward attention (models/attention.py:138-193, reference
+                # modules/attention.py:89-156): UNMASKED softmax energy,
+                # monotonic shift recurrence via the static [T, T]
+                # superdiagonal matmul, then masked zero + 1e-6 clamp +
+                # L1 renorm
+                energy = p / jnp.sum(p, axis=-1, keepdims=True)
+                shifted_w = _matmul(cum, band_ref, d)
+                if cfg.fwd_trans:
+                    tp_t = _tile_lanes(o_tp_ref[:], cfg.t_len)
+                    comb = (1.0 - tp_t) * cum + tp_t * shifted_w
+                else:
+                    comb = cum + shifted_w
+                w = comb * energy
+                w = jnp.where(mask_add > -0.5, w, 0.0)
+                w = jnp.maximum(w, 1e-6)
+                w = w / jnp.sum(w, axis=-1, keepdims=True)
+                new_state = w
             w_ref[s] = w
             ctx = jnp.sum(mem_ref[:] * w[:, :, None].astype(d),
                           axis=1, dtype=jnp.float32)
             o_ctx_ref[:] = ctx
-            o_cum_ref[:] = cum + w
+            o_cum_ref[:] = new_state
             if cfg.train:
                 r_ctx_ref[s] = ctx.astype(d)
+            if cfg.fwd_trans:
+                # transition agent (models/attention.py:189-192): VPU row
+                # reductions against the [1, dim] weight rows, then a
+                # lane-replicated sigmoid (no width-1 VMEM tensors)
+                lin = (jnp.sum(ctx * ta_wc_ref[:].astype(jnp.float32),
+                               axis=1, keepdims=True)
+                       + jnp.sum(h_att * ta_wq_ref[:].astype(jnp.float32),
+                                 axis=1, keepdims=True)
+                       + jnp.sum(x.astype(jnp.float32)
+                                 * ta_wx_ref[:].astype(jnp.float32),
+                                 axis=1, keepdims=True))
+                tp_lane = jax.nn.sigmoid(
+                    jnp.broadcast_to(lin, (lin.shape[0], _LANES))
+                    + ta_b_ref[:])
+                o_tp_ref[:] = tp_lane
+                if cfg.train:
+                    r_tp_ref[s] = tp_lane
 
             # generator LSTM
             gen_in_ref[:, :hidden] = h_att.astype(d)
@@ -419,29 +496,44 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
         ctrl_ref, teacher_ref = take(2)
         # broadcast operands
         mem_ref, mt_ref, band_ref, vt_ref = take(4)
+        # mask row for the forward family's renorm stage
+        mask_ref = take(1)[0] if cfg.att_kind != "ls" else None
         # weights (transpose-matmuls only; no gate recompute)
         pre_w_refs = take(n_pre)
         att_w_ref, wq_ref, gen_w_ref, head_w_ref = take(4)
+        if cfg.fwd_trans:  # transition-agent weight rows
+            ta_wc_ref, ta_wq_ref, ta_wx_ref = take(3)
         # fwd residual streams for this chunk
         r_h_att_ref, r_c_att_ref, r_c_gen_ref, r_cum_ref = take(4)
         r_pre_refs = take(n_pre)  # post-dropout output of each prenet layer
         r_act_att_ref, r_act_gen_ref, r_w_ref = take(3)
-        # chunk-entry cell states (the carry that ENTERED this chunk)
+        r_tp_ref = take(1)[0] if cfg.fwd_trans else None
+        # chunk-entry states (the carry that ENTERED this chunk)
         c_att0_ref, c_gen0_ref = take(2)
+        tp0_ref = take(1)[0] if cfg.fwd_trans else None
         # output cotangent streams
         dspec_ref, dstop_ref, dw_out_ref = take(3)
         # incoming cotangent carry (from the chunk after this one)
         (i_dh_att_ref, i_dc_att_ref, i_dh_gen_ref, i_dc_gen_ref,
          i_dctx_ref, i_dcum_ref, i_dframe_ref) = take(7)
+        i_dtp_ref = take(1)[0] if cfg.fwd_trans else None
         # outputs: per-step grad streams
         dg_att_ref, dg_gen_ref, da_frame_ref = take(3)
         da_pre_refs = take(n_pre)  # pre-relu grad of each prenet layer
         dctx_out_ref, dshift_ref = take(2)
-        # outputs: f32 accumulators (summed over chunks outside)
-        dmt_acc_ref, dband_acc_ref, dvt_acc_ref, dwq_acc_ref = take(4)
+        # transition-agent pre-sigmoid grad stream (weight grads assemble
+        # outside as matmuls over the ctx/h_att/prenet residual streams)
+        dlin_ref = take(1)[0] if cfg.fwd_trans else None
+        # outputs: f32 accumulators (summed over chunks outside); the
+        # forward family's band operand is the CONSTANT shift matrix, so
+        # it has no gradient accumulator
+        dmt_acc_ref = take(1)[0]
+        dband_acc_ref = take(1)[0] if cfg.att_kind == "ls" else None
+        dvt_acc_ref, dwq_acc_ref = take(2)
         # outputs: outgoing cotangent carry
         (o_dh_att_ref, o_dc_att_ref, o_dh_gen_ref, o_dc_gen_ref,
          o_dctx_ref, o_dcum_ref, o_dframe_ref) = take(7)
+        o_dtp_ref = take(1)[0] if cfg.fwd_trans else None
         assert next(it, None) is None, "unconsumed kernel refs"
         seed0 = ctrl_ref[0, 0].astype(jnp.uint32)
         seed1 = ctrl_ref[0, 1].astype(jnp.uint32)
@@ -454,8 +546,11 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
         o_dctx_ref[:] = i_dctx_ref[:]
         o_dcum_ref[:] = i_dcum_ref[:]
         o_dframe_ref[:] = i_dframe_ref[:]
+        if cfg.fwd_trans:
+            o_dtp_ref[:] = i_dtp_ref[:]
         dmt_acc_ref[:] = jnp.zeros_like(dmt_acc_ref)
-        dband_acc_ref[:] = jnp.zeros_like(dband_acc_ref)
+        if cfg.att_kind == "ls":
+            dband_acc_ref[:] = jnp.zeros_like(dband_acc_ref)
         dvt_acc_ref[:] = jnp.zeros_like(dvt_acc_ref)
         dwq_acc_ref[:] = jnp.zeros_like(dwq_acc_ref)
 
@@ -552,28 +647,91 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                                         h_pad + m_pad + hidden])
             o_dc_gen_ref[:] = dc_prev_g
 
+            # ---- transition agent (fwd_trans only) ----------------------
+            # tp_s = sigmoid(ctx·wc + h_att·wq + x·wx + b) was consumed by
+            # step s+1's recurrence; its cotangent arrives in the dtp
+            # carry.  Backward runs BEFORE the attention/dctx_out stage so
+            # the ctx contribution reaches the memory cotangent.
+            if cfg.fwd_trans:
+                p_s = r_tp_ref[s].astype(jnp.float32)   # lane-replicated
+                dlin = (o_dtp_ref[:][:, :1] * p_s[:, :1]
+                        * (1.0 - p_s[:, :1]))           # [B, 1] f32
+                dlin_ref[s] = jnp.broadcast_to(dlin, p_s.shape)
+                bb = dlin.shape[0]
+                dctx_tot = dctx_tot + (
+                    jnp.broadcast_to(dlin, (bb, mem_dim))
+                    * ta_wc_ref[:].astype(jnp.float32))
+                dh_att_tot = dh_att_tot + (
+                    jnp.broadcast_to(dlin, (bb, hidden))
+                    * ta_wq_ref[:].astype(jnp.float32))
+                dx_ta = (jnp.broadcast_to(dlin, (bb, prenet_dim))
+                         * ta_wx_ref[:].astype(jnp.float32))
+
             # ---- attention ---------------------------------------------
             dctx_out_ref[s] = dctx_tot.astype(d)
             dw = (dw_out_ref[s] + o_dcum_ref[:]
                   + jnp.sum(mem_ref[:].astype(jnp.float32)
                             * dctx_tot[:, None, :], axis=2))
-            de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
             # recompute the energy chain (VPU broadcast/reduction — mirrors
             # the forward; e = sum_a vt * tanh(z), so dtz = tile(de) * vt
             # and the v-cotangent is a [1, A*T] row, not the old [A*T, T]
             # dred accumulator)
             q = _matmul(h_att_s, wq_ref, d).astype(d)
-            loc = _matmul(cum_s, band_ref, d).astype(d)
             qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
-            tz = jnp.tanh(loc + qt + mt_ref[:])
+            if cfg.att_kind == "ls":
+                loc = _matmul(cum_s, band_ref, d).astype(d)
+                tz = jnp.tanh(loc + qt + mt_ref[:])
+                # softmax backward straight off the stored weights
+                de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
+            else:
+                # forward family: replay the softmax + shift recurrence +
+                # masked clamp/renorm from the stored state (bit-exact:
+                # same op sequence as the forward kernel), then transpose
+                # each stage
+                tz = jnp.tanh(qt + mt_ref[:])
+                e = _chunk_tree_sum(
+                    tz.astype(jnp.float32) * vt_ref[:], cfg.t_len)
+                e = e - jnp.max(e, axis=-1, keepdims=True)
+                pexp = jnp.exp(e)
+                energy = pexp / jnp.sum(pexp, axis=-1, keepdims=True)
+                shifted_w = _matmul(cum_s, band_ref, d)
+                if cfg.fwd_trans:
+                    tp_prev = prev(r_tp_ref, tp0_ref, s)
+                    tp_t = _tile_lanes(tp_prev, cfg.t_len)
+                    comb = (1.0 - tp_t) * cum_s + tp_t * shifted_w
+                else:
+                    comb = cum_s + shifted_w
+                w_raw = comb * energy
+                wm = jnp.where(mask_ref[:] > -0.5, w_raw, 0.0)
+                wc = jnp.maximum(wm, 1e-6)
+                s_norm = jnp.sum(wc, axis=-1, keepdims=True)
+                # renorm backward (w_s == wc / s_norm is the stored w)
+                dwc = (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True)) \
+                    / s_norm
+                dw_raw = jnp.where(wm > 1e-6, dwc, 0.0)
+                denergy = dw_raw * comb
+                dcomb = dw_raw * energy
+                if cfg.fwd_trans:
+                    o_dcum_ref[:] = ((1.0 - tp_t) * dcomb + _matmul(
+                        tp_t * dcomb, band_ref, d, contract=(1, 1)))
+                    dtp = jnp.sum(dcomb * (shifted_w - cum_s),
+                                  axis=-1, keepdims=True)   # [B, 1]
+                    o_dtp_ref[:] = jnp.broadcast_to(
+                        dtp, (dtp.shape[0], _LANES))
+                else:
+                    o_dcum_ref[:] = dcomb + _matmul(dcomb, band_ref, d,
+                                                    contract=(1, 1))
+                de = energy * (denergy - jnp.sum(
+                    denergy * energy, axis=-1, keepdims=True))
             de_t = jnp.concatenate([de] * cfg.att_dim, axis=1)  # [B, A*T]
             dtz = de_t * vt_ref[:]
             dz = dtz * (1.0 - tz.astype(jnp.float32) ** 2)
             dmt_acc_ref[:] += dz
-            dband_acc_ref[:] += jax.lax.dot_general(
-                cum_s.astype(d), dz.astype(d),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if cfg.att_kind == "ls":
+                dband_acc_ref[:] += jax.lax.dot_general(
+                    cum_s.astype(d), dz.astype(d),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             dvt_acc_ref[:] += jnp.sum(
                 tz.astype(jnp.float32) * de_t, axis=0, keepdims=True)
             # dq[b, a] = sum over the a-th T-lane chunk of dz
@@ -586,7 +744,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d, contract=(1, 1))
-            o_dcum_ref[:] += _matmul(dz, band_ref, d, contract=(1, 1))
+            if cfg.att_kind == "ls":
+                o_dcum_ref[:] += _matmul(dz, band_ref, d, contract=(1, 1))
 
             # ---- attention LSTM ----------------------------------------
             dgates_a, dh_prev_reg_a, dc_prev_a = cell_backward(
@@ -596,6 +755,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             dg_att_ref[s] = dgates_a.astype(d)
             dcat_a = _matmul(dgates_a, att_w_ref, d, contract=(1, 1))
             dx = dcat_a[:, :prenet_dim]
+            if cfg.fwd_trans:  # prenet output also fed the transition agent
+                dx = dx + dx_ta
             o_dctx_ref[:] = dcat_a[:, p_pad:p_pad + mem_dim]
             o_dh_att_ref[:] = (dh_prev_reg_a
                                + dcat_a[:, p_pad + m_pad:
@@ -639,6 +800,7 @@ def _make_cfg(hp, *, t_len: int, mem_dim: int, att_dim: int, dtype,
         hidden=int(hp.decoder_dimension), mmel=int(hp.num_mels),
         prenet_dim=int(hp.prenet_dimension),
         n_prenet=int(getattr(hp, "prenet_layers", 2)),
+        att_kind=_ATT_KINDS[hp.attention_type],
         dropout_rate=float(hp.dropout),
         zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
         dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
@@ -671,13 +833,20 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         + cfg.mmel * cfg.prenet_dim        # prenet layer 0
         + (cfg.n_prenet - 1) * cfg.prenet_dim * cfg.prenet_dim
         + cfg.hidden * a                   # wq
-        + t * at                           # band
+        # band: [T, A*T] conv fold (ls) or [T, T] shift matrix (fwd)
+        + (t * at if cfg.att_kind == "ls" else t * t)
         + bb * at                          # mt_am
         + bb * t * _r128(cfg.mem_dim)      # memory
     ) + 4 * at \
         + 4 * bb * (4 * cfg.hidden + cfg.mem_dim + cfg.t_len + cfg.mmel) * 4
+    if cfg.fwd_trans:
+        # ta rows + lane-replicated tp/dtp carries (f32)
+        fixed += 4 * (cfg.mem_dim + cfg.hidden + cfg.prenet_dim
+                      + 3 * 128) + 4 * bb * 4 * 128
     if backward:
-        fixed += 4 * (bb * at + t * at + at + cfg.hidden * a)  # f32 accs
+        fixed += 4 * (bb * at + at + cfg.hidden * a)           # f32 accs
+        if cfg.att_kind == "ls":
+            fixed += 4 * t * at                                # dband acc
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
         # residual reads: h_att, c_att, c_gen, cum, prenet outs, acts x2
@@ -689,6 +858,8 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
                                   + cfg.n_prenet * cfg.prenet_dim
                                   + cfg.mem_dim)
         per_step += 4 * bb * (cfg.mmel + 1 + t + t)  # dspec/dstop/dw_out + w
+        if cfg.fwd_trans:
+            per_step += 4 * bb * 2 * 128             # r_tp read + dlin write
     elif cfg.train:
         # residual writes incl. the two activation streams
         per_step = esize * bb * (
@@ -696,6 +867,8 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
             + cfg.n_prenet * cfg.prenet_dim
             + cfg.mmel + 8 * cfg.hidden)
         per_step += 4 * bb * (cfg.mmel + 1 + t)      # spec/stop/w outputs
+        if cfg.fwd_trans:
+            per_step += 4 * bb * 128                 # r_tp write
     else:
         per_step = 4 * bb * (cfg.mmel + 1 + t)       # eval: outputs only
     if fixed + per_step > budget:
@@ -706,16 +879,22 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
     return max(s, 1)
 
 
-def _weight_order(n_prenet: int):
+def _weight_order(n_prenet: int, att_kind: str = "ls"):
     pre = tuple(k for i in range(n_prenet)
                 for k in (f"pre_w{i}", f"pre_b{i}"))
-    return pre + ("att_w", "att_b", "wq", "gen_w", "gen_b",
+    base = pre + ("att_w", "att_b", "wq", "gen_w", "gen_b",
                   "head_w", "head_b")
+    if att_kind == "fwd_trans":
+        base += ("ta_wc", "ta_wq", "ta_wx", "ta_b")
+    return base
 
 
-def _bwd_weight_order(n_prenet: int):
-    return (tuple(f"pre_w{i}" for i in range(n_prenet))
+def _bwd_weight_order(n_prenet: int, att_kind: str = "ls"):
+    base = (tuple(f"pre_w{i}" for i in range(n_prenet))
             + ("att_w", "wq", "gen_w", "head_w"))
+    if att_kind == "fwd_trans":
+        base += ("ta_wc", "ta_wq", "ta_wx")
+    return base
 
 _VMEM_LIMIT = 128 * 1024 * 1024
 
@@ -739,6 +918,9 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # r_raw
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_att
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # r_act_gen
+        # lane-replicated transition probabilities (fwd_trans)
+        *((jax.ShapeDtypeStruct((steps, b, _LANES), f32),)
+          if cfg.fwd_trans else ()),
     ) if cfg.train else ()
     out_shape = (
         jax.ShapeDtypeStruct((steps, b, mmel), f32),   # spec
@@ -752,9 +934,12 @@ def _fwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, mem), f32),
         jax.ShapeDtypeStruct((b, mmel), f32),
         jax.ShapeDtypeStruct((b, t), f32),
+        *((jax.ShapeDtypeStruct((b, _LANES), f32),)    # tp carry
+          if cfg.fwd_trans else ()),
     )
     # broadcast+shifted, carry, weights
-    n_vmem_in = 6 + 7 + len(_weight_order(cfg.n_prenet))
+    n_carry = 8 if cfg.fwd_trans else 7
+    n_vmem_in = 6 + n_carry + len(_weight_order(cfg.n_prenet, cfg.att_kind))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -778,6 +963,7 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
     t, mem, hid, mmel, p, a = (cfg.t_len, cfg.mem_dim, cfg.hidden, cfg.mmel,
                                cfg.prenet_dim, cfg.att_dim)
     kernel = _build_bwd_kernel(cfg, steps)
+    fwd_trans = cfg.fwd_trans
     out_shape = (
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_att
         jax.ShapeDtypeStruct((steps, b, 4 * hid), d),  # dg_gen
@@ -787,8 +973,11 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
           for _ in range(cfg.n_prenet)),
         jax.ShapeDtypeStruct((steps, b, mem), d),      # dctx_out
         jax.ShapeDtypeStruct((steps, b, mmel), d),     # dshift
+        *((jax.ShapeDtypeStruct((steps, b, _LANES), f32),)  # dlin
+          if fwd_trans else ()),
         jax.ShapeDtypeStruct((b, a * t), f32),         # dmt_acc
-        jax.ShapeDtypeStruct((t, a * t), f32),         # dband_acc
+        *((jax.ShapeDtypeStruct((t, a * t), f32),)     # dband_acc (ls)
+          if cfg.att_kind == "ls" else ()),
         jax.ShapeDtypeStruct((1, a * t), f32),         # dvt_acc
         jax.ShapeDtypeStruct((hid, a), f32),           # dwq_acc
         jax.ShapeDtypeStruct((b, hid), f32),           # carry out...
@@ -798,11 +987,16 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         jax.ShapeDtypeStruct((b, mem), f32),
         jax.ShapeDtypeStruct((b, t), f32),
         jax.ShapeDtypeStruct((b, mmel), f32),
+        *((jax.ShapeDtypeStruct((b, _LANES), f32),)    # dtp carry
+          if fwd_trans else ()),
     )
-    # 4 broadcast + weights + (7 + n_prenet) residual streams
-    # + 2 entry cell states + 3 cotangent streams + 7 carry
-    n_vmem_in = (4 + len(_bwd_weight_order(cfg.n_prenet))
-                 + 7 + cfg.n_prenet + 2 + 3 + 7)
+    # broadcast (+ mask row for the forward family) + weights
+    # + residual streams + entry states + cotangent streams + carry
+    n_vmem_in = ((4 if cfg.att_kind == "ls" else 5)
+                 + len(_bwd_weight_order(cfg.n_prenet, cfg.att_kind))
+                 + 7 + cfg.n_prenet + (1 if fwd_trans else 0)
+                 + (3 if fwd_trans else 2)
+                 + 3 + (8 if fwd_trans else 7))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -858,10 +1052,10 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         s_chunk = _chunk_size(f, cap)
         call = _fwd_call(cfg, s_chunk, b, interpret)
         w_ops = []
-        for k in _weight_order(cfg.n_prenet):
+        for k in _weight_order(cfg.n_prenet, cfg.att_kind):
             v = ops[k]
             w_ops.append(v.astype(jnp.float32)
-                         if k.startswith("pre_b")
+                         if k.startswith(("pre_b", "ta_"))
                          or k in ("att_b", "gen_b", "head_b") else
                          v.astype(d))
         mem_d = memory.astype(d)
@@ -882,7 +1076,8 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                 *carry,
                 *w_ops,
             )
-            n_streams = (12 + cfg.n_prenet) if cfg.train else 3
+            n_streams = ((12 + cfg.n_prenet + (1 if cfg.fwd_trans else 0))
+                         if cfg.train else 3)
             per_chunk.append(out[:n_streams])
             carry = out[n_streams:]
         streams = [jnp.concatenate(parts, axis=0)
@@ -893,9 +1088,11 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         (spec, stop, w_seq, r_h_att, r_c_att, r_h_gen, r_c_gen,
          r_ctx, r_cum) = streams[:9]
         r_pre = tuple(streams[9:9 + cfg.n_prenet])
-        r_raw, r_act_att, r_act_gen = streams[9 + cfg.n_prenet:]
+        (r_raw, r_act_att, r_act_gen) = streams[9 + cfg.n_prenet:
+                                                12 + cfg.n_prenet]
+        r_tp = streams[12 + cfg.n_prenet] if cfg.fwd_trans else None
         residuals = (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-                     r_pre, r_raw, r_act_att, r_act_gen, w_seq)
+                     r_pre, r_raw, r_act_att, r_act_gen, w_seq, r_tp)
         return (spec, stop, w_seq), residuals
 
     def core(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
@@ -916,16 +1113,20 @@ def make_core(cfg: _Cfg, interpret: bool = False):
     def core_fwd(ops, memory, mask_add, shifted, teacher, seeds, init_carry):
         outs, residuals = _run_forward(ops, memory, mask_add, shifted,
                                        teacher, seeds, init_carry)
-        # shifted/mask_add are NOT saved: the backward pass re-reads the
-        # per-step inputs from the r_raw residual stream and only needs
-        # their shapes, which cfg/r_raw already carry
-        return outs, (ops, memory, teacher, seeds, init_carry, residuals)
+        # shifted is NOT saved: the backward pass re-reads the per-step
+        # inputs from the r_raw residual stream and only needs its shape,
+        # which cfg/r_raw already carry.  mask_add IS saved for the
+        # forward family, whose backward replays the masked clamp+renorm.
+        mask_res = mask_add if cfg.att_kind != "ls" else None
+        return outs, (ops, memory, mask_res, teacher, seeds, init_carry,
+                      residuals)
 
     def core_bwd(res, cts):
-        (ops, memory, teacher, seeds, init_carry, residuals) = res
+        (ops, memory, mask_res, teacher, seeds, init_carry,
+         residuals) = res
         dspec, dstop, dw_out = cts
         (r_h_att, r_c_att, r_h_gen, r_c_gen, r_ctx, r_cum,
-         r_pre, r_raw, r_act_att, r_act_gen, w_seq) = residuals
+         r_pre, r_raw, r_act_att, r_act_gen, w_seq, r_tp) = residuals
         f = teacher.shape[0]
         b = memory.shape[0]
         cap = _vmem_chunk(cfg, b, cfg.bwd_chunk, True)
@@ -939,13 +1140,17 @@ def make_core(cfg: _Cfg, interpret: bool = False):
         s_chunk = _chunk_size(f, cap)
         call = _bwd_call(cfg, s_chunk, b, interpret)
 
-        bwd_order = _bwd_weight_order(cfg.n_prenet)
-        w_ops = {k: ops[k].astype(d) for k in bwd_order}
+        bwd_order = _bwd_weight_order(cfg.n_prenet, cfg.att_kind)
+        w_ops = {k: (ops[k].astype(jnp.float32) if k.startswith("ta_")
+                     else ops[k].astype(d)) for k in bwd_order}
         mem_d = memory.astype(d)
         band, vt, mt_am = (ops["band"].astype(d),
                            ops["vt"].astype(jnp.float32),
                            ops["mt_am"].astype(d))
-        (h0, c0, hg0, cg0, ctx0, frame0, cum0) = init_carry
+        mask_row = (mask_res.astype(jnp.float32),) \
+            if cfg.att_kind != "ls" else ()
+        init_carry = tuple(init_carry)
+        (h0, c0, hg0, cg0, ctx0, frame0, cum0) = init_carry[:7]
 
         # cotangent chain starts at zero: the final states are unused
         dcarry = (jnp.zeros((b, cfg.hidden), jnp.float32),
@@ -955,6 +1160,9 @@ def make_core(cfg: _Cfg, interpret: bool = False):
                   jnp.zeros((b, cfg.mem_dim), jnp.float32),
                   jnp.zeros((b, cfg.t_len), jnp.float32),
                   jnp.zeros((b, cfg.mmel), jnp.float32))
+        if cfg.fwd_trans:
+            dcarry += (jnp.zeros((b, _LANES), jnp.float32),)
+        n_accs = 4 if cfg.att_kind == "ls" else 3
         accs = None
         per_chunk = [None] * (f // s_chunk)
         for k in range(f // s_chunk - 1, -1, -1):
@@ -968,30 +1176,38 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             else:
                 entry = (r_c_att[lo - 1].astype(jnp.float32),
                          r_c_gen[lo - 1].astype(jnp.float32))
+            if cfg.fwd_trans:
+                entry += (init_carry[7] if k == 0 else r_tp[lo - 1],)
             out = call(
                 ctrl, t_chunk,
-                mem_d, mt_am, band, vt,
+                mem_d, mt_am, band, vt, *mask_row,
                 *(w_ops[kk] for kk in bwd_order),
                 r_h_att[lo:hi], r_c_att[lo:hi], r_c_gen[lo:hi],
                 r_cum[lo:hi], *(rp[lo:hi] for rp in r_pre),
                 r_act_att[lo:hi], r_act_gen[lo:hi], w_seq[lo:hi],
+                *((r_tp[lo:hi],) if cfg.fwd_trans else ()),
                 *entry,
                 dspec[lo:hi], dstop[lo:hi], dw_out[lo:hi],
                 *dcarry,
             )
-            n_streams = 5 + cfg.n_prenet
+            n_streams = 5 + cfg.n_prenet + (1 if cfg.fwd_trans else 0)
             per_chunk[k] = out[:n_streams]
-            chunk_accs = out[n_streams:n_streams + 4]
+            chunk_accs = out[n_streams:n_streams + n_accs]
             accs = (chunk_accs if accs is None else
                     tuple(a + c for a, c in zip(accs, chunk_accs)))
-            dcarry = out[n_streams + 4:]
+            dcarry = out[n_streams + n_accs:]
 
         streams = [jnp.concatenate(parts, axis=0)
                    for parts in zip(*per_chunk)]
         dg_att, dg_gen, da_frame = streams[:3]
         da_pre = streams[3:3 + cfg.n_prenet]
-        dctx_seq, dshift = streams[3 + cfg.n_prenet:]
-        dmt_am, dband, dvt, dwq = accs
+        dctx_seq, dshift = streams[3 + cfg.n_prenet:5 + cfg.n_prenet]
+        dlin_seq = streams[5 + cfg.n_prenet] if cfg.fwd_trans else None
+        if cfg.att_kind == "ls":
+            dmt_am, dband, dvt, dwq = accs
+        else:
+            dmt_am, dvt, dwq = accs
+            dband = jnp.zeros_like(ops["band"])  # constant shift matrix
 
         # ---- weight gradients: large MXU matmuls over stored streams ----
         hid, mem, p, mmel = cfg.hidden, cfg.mem_dim, cfg.prenet_dim, cfg.mmel
@@ -1048,11 +1264,28 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             "head_w": d_head_w, "head_b": d_head_b,
             "band": dband, "vt": dvt, "mt_am": dmt_am,
         }
+        if cfg.fwd_trans:
+            # transition-agent grads: matmuls of the pre-sigmoid grad
+            # stream against the stored ctx / h_att / prenet residuals
+            dlin_col = dlin_seq[..., 0]                  # [F, B] f32
+            d_ops["ta_wc"] = jnp.einsum(
+                "sb,sbm->m", dlin_col, r_ctx.astype(jnp.float32))[None, :]
+            d_ops["ta_wq"] = jnp.einsum(
+                "sb,sbh->h", dlin_col, r_h_att.astype(jnp.float32))[None, :]
+            d_ops["ta_wx"] = jnp.einsum(
+                "sb,sbp->p", dlin_col,
+                r_pre[-1].astype(jnp.float32))[None, :]
+            # ops["ta_b"] is the lane-replicated bias row; its outer
+            # transpose (broadcast) SUMS lanes, so the total in lane 0 is
+            # exact regardless of per-lane distribution
+            d_ops["ta_b"] = jnp.zeros(
+                (1, _LANES), jnp.float32).at[0, 0].set(jnp.sum(dlin_col))
         d_ops = {k: v.astype(ops[k].dtype) for k, v in d_ops.items()}
-        # dcarry is in KERNEL order (..., dctx, dcum, dframe) while
-        # init_carry is (..., ctx, frame, cum) — swap the last two
+        # dcarry is in KERNEL order (..., dctx, dcum, dframe[, dtp]) while
+        # init_carry is (..., ctx, frame, cum[, tp]) — swap frame/cum
         d_init = (dcarry[0], dcarry[1], dcarry[2], dcarry[3],
-                  dcarry[4], dcarry[6], dcarry[5])
+                  dcarry[4], dcarry[6], dcarry[5]) + (
+                      (dcarry[7],) if cfg.fwd_trans else ())
         return (d_ops, d_memory.astype(memory.dtype),
                 jnp.zeros((b, cfg.t_len), jnp.float32),
                 dshift.astype(jnp.float32),
@@ -1103,23 +1336,46 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
         # gradients for lc/v/bias flow out of the band/vt/mt_am cotangents
         bundle = extract_decoder_bundle(
             None, compute_dtype=jnp.float32, cell_params=cell_params)
-        band = _band_blocks(bundle, t_len, att_dim, t_len, jnp.float32)[0]
+        if cfg.att_kind == "ls":
+            band = _band_blocks(bundle, t_len, att_dim, t_len,
+                                jnp.float32)[0]
+        else:
+            # forward family: shift(prev)[b, t] = prev[b, t-1] as the
+            # static [T, T] superdiagonal matmul operand (constant — its
+            # cotangent is discarded)
+            band = jnp.asarray(np.eye(t_len, k=1, dtype=np.float32))
         vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
         mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim,
                             t_len, jnp.float32)
-        ops = {k: bundle[k] for k in _weight_order(cfg.n_prenet)}
+        ops = {k: bundle[k] for k in _weight_order(cfg.n_prenet, "ls")}
         ops.update(band=band, vt=vt, mt_am=mt_am)
+        if cfg.fwd_trans:
+            # [1, dim] rows for the kernel's VPU reductions (the bundle
+            # stores the serving kernel's 128-column tiles; slicing one
+            # column keeps the construction differentiable)
+            ops.update(
+                ta_wc=bundle["ta_wc"][:, :1].T.astype(jnp.float32),
+                ta_wq=bundle["ta_wq"][:, :1].T.astype(jnp.float32),
+                ta_wx=bundle["ta_wx"][:, :1].T.astype(jnp.float32),
+                ta_b=bundle["ta_b"].astype(jnp.float32),
+            )
 
         mask_add = jnp.where(mask, 0.0, _NEG_INF).astype(jnp.float32)
         seeds = jax.lax.bitcast_convert_type(
             jax.random.bits(rng, (2,), jnp.uint32), jnp.int32)
         f32 = jnp.float32
+        if cfg.att_kind == "ls":
+            w0 = jnp.zeros((b, t_len), f32)
+        else:  # forward attention starts with all mass on token 0
+            w0 = jnp.zeros((b, t_len), f32).at[:, 0].set(1.0)
         init_carry = (
             jnp.zeros((b, cfg.hidden), f32), jnp.zeros((b, cfg.hidden), f32),
             jnp.zeros((b, cfg.hidden), f32), jnp.zeros((b, cfg.hidden), f32),
             jnp.zeros((b, mem_dim), f32), jnp.zeros((b, cfg.mmel), f32),
-            jnp.zeros((b, t_len), f32),
+            w0,
         )
+        if cfg.fwd_trans:  # t_prob starts at 0.5 (lane-replicated)
+            init_carry += (jnp.full((b, _LANES), 0.5, f32),)
         entry = core if train else core.run_forward
         spec, stop, w_seq = entry(
             ops, memory.astype(jnp.float32), mask_add,

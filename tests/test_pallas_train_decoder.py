@@ -31,12 +31,13 @@ from multilingual_text_to_speech_tpu.ops import pallas_train_decoder as ptd
 from tests.corpus_utils import tiny_model_hp
 
 
-def make_hp(regularization="zoneout", stochastic=False, prenet_layers=2):
+def make_hp(regularization="zoneout", stochastic=False, prenet_layers=2,
+            attention_type="location_sensitive"):
     hp = tiny_model_hp(
         multi_speaker=True, multi_language=True, speaker_number=4,
         language_number=2, languages=["de", "fr"],
         decoder_regularization=regularization)
-    hp.attention_type = "location_sensitive"
+    hp.attention_type = attention_type
     hp.prenet_layers = prenet_layers
     if stochastic:
         hp.dropout = 0.5
@@ -95,13 +96,41 @@ def test_forward_parity_vs_xla(monkeypatch, ratio):
             err_msg=f"ratio={ratio} key={k}")
 
 
-@pytest.mark.parametrize("regularization,prenet_layers",
-                         [("zoneout", 2), ("dropout", 2),
-                          ("zoneout", 1), ("zoneout", 3)])
-def test_grad_parity_vs_xla(monkeypatch, regularization, prenet_layers):
-    """Prenet depths 1 and 3 ride the same check (round 3: the train
-    kernel covers any depth >= 1, matching the serving kernel)."""
-    hp = make_hp(regularization, prenet_layers=prenet_layers)
+@pytest.mark.parametrize("attention_type",
+                         ["forward", "forward_transition_agent"])
+def test_forward_parity_vs_xla_forward_family(monkeypatch, attention_type):
+    """Round 3: the train kernel covers the forward attention family via
+    the shift-matrix recurrence (unmasked softmax energy, masked clamp +
+    L1 renorm, lane-replicated transition probability)."""
+    hp = make_hp(attention_type=attention_type)
+    model, variables, args = build(hp)
+    ratio = 0.5
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    ox = run_model(model, variables, args, ratio)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    of = run_model(model, variables, args, ratio)
+    for k in ("pre_prediction", "post_prediction", "stop_token", "alignment"):
+        np.testing.assert_allclose(
+            np.asarray(ox[k]), np.asarray(of[k]), atol=5e-6,
+            err_msg=f"ratio={ratio} key={k}")
+
+
+@pytest.mark.parametrize(
+    "regularization,prenet_layers,attention_type",
+    [("zoneout", 2, "location_sensitive"),
+     ("dropout", 2, "location_sensitive"),
+     ("zoneout", 1, "location_sensitive"),
+     ("zoneout", 3, "location_sensitive"),
+     ("zoneout", 2, "forward"),
+     ("zoneout", 2, "forward_transition_agent"),
+     ("dropout", 2, "forward_transition_agent")])
+def test_grad_parity_vs_xla(monkeypatch, regularization, prenet_layers,
+                            attention_type):
+    """Prenet depths 1 and 3 and the forward attention family ride the
+    same check (round 3: the train kernel covers any depth >= 1 and all
+    three attention recurrences, matching the serving kernel)."""
+    hp = make_hp(regularization, prenet_layers=prenet_layers,
+                 attention_type=attention_type)
     model, variables, args = build(hp)
     (text, lengths, target, tlen, speakers, languages) = args
 
