@@ -1,0 +1,173 @@
+"""Hardware validation for the round-3 TRAIN-kernel generalizations
+(ops/pallas_train_decoder.py): forward-attention family and prenet
+depths != 2.
+
+One process, one TPU session (the tunnel wedges between processes):
+  1. trivial-op probe (fails fast if the tunnel is down),
+  2. Mosaic compile of the fwd+bwd train kernels per case,
+  3. loss + gradient parity vs the XLA scan on-device
+     (forced-f32 matmul precision, relative error),
+  4. profiled device ms/step fused vs XLA scan.
+
+Run:  timeout 1800 python tools/hw_validate_train_forward_family.py
+"""
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def device_us(run_fn):
+    import jax
+    trace_dir = tempfile.mkdtemp(prefix="tff_trace_")
+    jax.profiler.start_trace(trace_dir)
+    run_fn()
+    jax.profiler.stop_trace()
+    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                          recursive=True))[-1]
+    data = json.load(gzip.open(tf))
+    events = data["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    return sum(e.get("dur", 0) for e in events
+               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
+               and e.get("name", "").startswith("jit_"))
+
+
+def main():
+    # --cpu-smoke: flow check off-device (tiny dims, interpret-mode
+    # kernels, no timing assertions) so the script itself is validated
+    # before a tunnel session is spent on it
+    cpu_smoke = "--cpu-smoke" in sys.argv
+    if cpu_smoke:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        os.environ["MTTS_PALLAS_TRAIN_DECODER_SMOKE"] = "1"
+    import jax
+    import jax.numpy as jnp
+
+    print("probe:", float(jax.jit(lambda x: x + 1)(jnp.float32(1))),
+          flush=True)
+    if not cpu_smoke:
+        assert jax.devices()[0].platform == "tpu", jax.devices()
+
+    from __graft_entry__ import _flagship_hp
+    from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
+    from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+
+    # (attention, prenet depth); deterministic regularization so the XLA
+    # scan and the kernel draw no PRNG (stochastic parity is covered by
+    # the interpret-mode replica tests)
+    cases = [
+        ("forward", 2),
+        ("forward_transition_agent", 2),
+        ("location_sensitive", 3),
+        ("location_sensitive", 1),
+    ]
+    rng_np = np.random.RandomState(0)
+    # batch must divide by the 5 languages (generated encoder grouping)
+    batch, text_len, frames = 20, 128, 128
+    if cpu_smoke:
+        batch, text_len, frames = 5, 24, 16
+        cases = cases[:2]
+    for att_type, n_prenet in cases:
+        hp = _flagship_hp(tiny=cpu_smoke)
+        hp.attention_type = att_type
+        hp.prenet_layers = n_prenet
+        hp.dropout = 0.0
+        hp.zoneout_hidden = 0.0
+        hp.zoneout_cell = 0.0
+        hp.dropout_hidden = 0.0
+        assert pallas_train_decoder.supports(hp)
+        model = Tacotron(hp, train=True, dtype=jnp.float32)
+
+        text = jnp.asarray(rng_np.randint(
+            3, hp.total_symbols(), (batch, text_len)), jnp.int32)
+        lengths = jnp.full((batch,), text_len, jnp.int32)
+        target = jnp.asarray(
+            rng_np.randn(batch, frames, hp.num_mels) * 0.1, jnp.float32)
+        tlen = jnp.full((batch,), frames, jnp.int32)
+        speakers = jnp.asarray(
+            rng_np.randint(0, hp.speaker_number, batch), jnp.int32)
+        languages = jnp.asarray(
+            np.arange(batch) % len(hp.languages), jnp.int32)
+        key = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init)(
+            key, text, lengths, target, tlen, speakers, languages,
+            1.0, key)
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {"params": p, **rest}, text, lengths, target, tlen,
+                speakers, languages, 1.0, key, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(key, 1)})
+            return (jnp.mean((out["pre_prediction"] - target) ** 2)
+                    + 0.1 * jnp.mean(out["stop_token"] ** 2)
+                    + 0.05 * jnp.mean(out["alignment"] ** 2))
+
+        results = {}
+        fused_mode = "interpret" if cpu_smoke else ""
+        for mode in (fused_mode, "off"):  # fused kernels, then XLA scan
+            os.environ["MTTS_PALLAS_TRAIN_DECODER"] = mode
+            # count factory invocations at trace time to prove the fused
+            # path engaged (a silent XLA fallback would make the parity
+            # check vacuous)
+            calls = {"n": 0}
+            orig = pallas_train_decoder.make_train_decode_fn
+            if mode == fused_mode:
+                def counted(*a, _orig=orig, **k):
+                    calls["n"] += 1
+                    return _orig(*a, **k)
+                pallas_train_decoder.make_train_decode_fn = counted
+            try:
+                step = jax.jit(jax.value_and_grad(loss_fn))
+                loss, grads = step(params)        # Mosaic compile here
+                loss = float(loss)
+                jax.block_until_ready(grads)
+            finally:
+                pallas_train_decoder.make_train_decode_fn = orig
+            if mode == fused_mode:
+                assert calls["n"] >= 1, "fused train decoder did not engage"
+            us = 0.0
+            if not cpu_smoke:
+                us = device_us(
+                    lambda s=step: jax.block_until_ready(s(params)))
+            results["off" if mode == "off" else "fused"] = (loss, grads, us)
+
+        lf, gf, uf = results["fused"]
+        lx, gx, ux = results["off"]
+        assert np.isfinite(lf), lf
+        worst = 0.0
+        worst_k = None
+        for (pth, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gf),
+                jax.tree_util.tree_leaves_with_path(gx)):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+            if rel > worst:
+                worst, worst_k = rel, jax.tree_util.keystr(pth)
+        print(f"{att_type} prenet={n_prenet}: "
+              f"loss fused={lf:.6f} xla={lx:.6f} "
+              f"grad worst-rel={worst:.2e} ({worst_k})", flush=True)
+        print(f"  fused {uf / 1e3:.1f} ms/step vs XLA {ux / 1e3:.1f} "
+              f"({ux / max(uf, 1):.2f}x)", flush=True)
+        assert abs(lf - lx) / max(abs(lx), 1e-9) < 1e-4, (lf, lx)
+        assert worst < 1e-3, (worst, worst_k)
+
+    print("TRAIN FORWARD-FAMILY HW VALIDATION OK", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
