@@ -48,10 +48,13 @@ T_PAD = 16      # padded text length
 F_PAD = 48      # padded frame length
 
 
-def build_hp():
+def build_hp(attention_type="location_sensitive"):
     """Matched hyper-parameters for both frameworks (flagship-shaped tiny
-    model: generated encoder, zoneout LSTMs, location-sensitive attention,
-    conv postnet)."""
+    model: generated encoder, zoneout LSTMs, conv postnet).
+
+    ``attention_type`` extends the study to the forward attention family
+    ("forward" only — the reference's ForwardAttentionWithTransition.reset
+    drops the ``device`` argument upstream and cannot train unpatched)."""
     from multilingual_text_to_speech_tpu.config import HParams
 
     hp = HParams()
@@ -69,7 +72,7 @@ def build_hp():
     hp.generator_bottleneck_dim = 4
     hp.prenet_dimension = 32
     hp.prenet_layers = 2
-    hp.attention_type = "location_sensitive"
+    hp.attention_type = attention_type
     hp.attention_dimension = 32
     hp.attention_kernel_size = 15
     hp.attention_location_dimension = 16
@@ -328,6 +331,10 @@ def main(argv=None):
                         help="Write a markdown report to this path.")
     parser.add_argument("--json", default=None,
                         help="Write raw results JSON to this path.")
+    parser.add_argument("--attention", default="location_sensitive",
+                        choices=["location_sensitive", "forward"],
+                        help="Attention family for both frameworks "
+                        "(see build_hp re: the transition-agent variant).")
     args = parser.parse_args(argv)
 
     import jax
@@ -340,7 +347,7 @@ def main(argv=None):
         mel_cepstral_distortion,
     )
 
-    hp = build_hp()
+    hp = build_hp(attention_type=args.attention)
     items = build_dataset(n_items=64, seed=0)
     train_items, eval_items = items[:-args.eval_items], items[-args.eval_items:]
     batches = make_batches(train_items, hp, seed=1)

@@ -169,6 +169,34 @@ def port_lsa(sd, prefix="_attention"):
     }
 
 
+def port_forward_attention(sd, prefix="_attention", transition=False):
+    """Reference ForwardAttention(/WithTransition) -> this repo's params
+    (models/attention.py::_ForwardEnergy tree; reference
+    modules/attention.py:89-160)."""
+    att = {
+        "energy_net": {
+            "query": {"kernel": lin_kernel(sd[f"{prefix}._query.weight"])},
+            "energy": {"kernel": lin_kernel(sd[f"{prefix}._energy.weight"])},
+            "bias": t2j(sd[f"{prefix}._bias"]),
+        }
+    }
+    if transition:
+        att["transition_agent"] = dense(sd, f"{prefix}._transition_agent")
+    return att
+
+
+def port_attention(sd, hp, prefix="_attention"):
+    """Family-dispatching attention port (hp.attention_type)."""
+    kind = hp.attention_type
+    if kind == "location_sensitive":
+        return port_lsa(sd, prefix)
+    if kind == "forward":
+        return port_forward_attention(sd, prefix, transition=False)
+    if kind == "forward_transition_agent":
+        return port_forward_attention(sd, prefix, transition=True)
+    raise ValueError(f"unknown attention_type: {kind!r}")
+
+
 def port_decoder(sd, hp, prefix=""):
     """Reference Decoder + attention + prenet -> this repo's Decoder tree."""
     dec = {"memory": {"kernel": lin_kernel(sd[f"{prefix}_attention._memory.weight"])}}
@@ -187,7 +215,7 @@ def port_decoder(sd, hp, prefix=""):
         },
         "attention_lstm": fused_lstm(sd, f"{prefix}_decoder._attention_lstm"),
         "generator_lstm": fused_lstm(sd, f"{prefix}_decoder._generator_lstm"),
-        "attention": port_lsa(sd, f"{prefix}_attention"),
+        "attention": port_attention(sd, hp, f"{prefix}_attention"),
         "frame_prediction": dense(sd, f"{prefix}_decoder._frame_prediction"),
         "stop_prediction": dense(sd, f"{prefix}_decoder._stop_prediction"),
     }

@@ -146,6 +146,7 @@ from multilingual_text_to_speech_tpu.interop.torch_port import (  # noqa: E402
     port_convblock,
     port_decoder,
     port_generated_block,
+    port_forward_attention,
     port_lsa,
     port_state_dict,
     port_tacotron,
@@ -370,6 +371,68 @@ def test_location_sensitive_attention_step_parity(ref):
     report("lsa_context", got_ctx, want_ctx.numpy(), atol=1e-5)
     report("lsa_weights", got_w, want_w.numpy(), atol=1e-5)
     report("lsa_cumulative", new_state["weights"], want_cum.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("transition", [False, True])
+def test_forward_attention_step_parity(ref, transition):
+    """Forward attention (+transition agent) single step vs the live torch
+    reference (modules/attention.py:89-160).  The reference's
+    ForwardAttentionWithTransition.reset drops the ``device`` argument (an
+    upstream arity bug — it would crash if called), so the test seeds the
+    recurrence state directly on both sides, as mid-decode."""
+    from multilingual_text_to_speech_tpu.models.attention import (
+        ForwardAttention,
+        ForwardAttentionWithTransition,
+    )
+
+    torch.manual_seed(7)
+    b, t, mem_dim, q_dim, a_dim, out_dim = 4, 13, 10, 8, 12, 6
+    if transition:
+        tatt = ref.attention.ForwardAttentionWithTransition(
+            out_dim, a_dim, q_dim, mem_dim).eval()
+    else:
+        tatt = ref.attention.ForwardAttention(a_dim, q_dim, mem_dim).eval()
+    memory = torch.randn(b, t, mem_dim)
+    query = torch.randn(b, q_dim)
+    prev_out = torch.randn(b, out_dim)
+    lengths = torch.tensor([13, 9, 7, 4])
+    mask = torch.arange(t)[None, :] < lengths[:, None]
+    prev_w = torch.rand(b, t) * mask
+    prev_w = prev_w / prev_w.sum(-1, keepdim=True)
+    t_prob = torch.rand(b, 1)
+
+    with torch.no_grad():
+        # seed state without reset() (see docstring re: upstream arity bug)
+        tatt._memory_transform = tatt._memory(memory)
+        tatt._prev_weights = prev_w.clone()
+        tatt._prev_context = torch.zeros(b, mem_dim)
+        if transition:
+            tatt._t_prob = t_prob.clone()
+        want_ctx, want_w = tatt(query, memory, mask, prev_out)
+
+    att = (ForwardAttentionWithTransition if transition
+           else ForwardAttention)(representation_dim=a_dim)
+    sd = tatt.state_dict()
+    memory_j = jnp.asarray(memory.numpy())
+    mt_j = memory_j @ jnp.asarray(lin_kernel(sd["_memory.weight"]))
+    state = {"weights": jnp.asarray(prev_w.numpy())}
+    if transition:
+        state["t_prob"] = jnp.asarray(t_prob.numpy())
+    args = (jnp.asarray(query.numpy()), memory_j, mt_j,
+            jnp.asarray(mask.numpy()), state,
+            jnp.asarray(prev_out.numpy()))
+    variables = unfreeze(att.init(jax.random.PRNGKey(0), *args))
+    ported = port_forward_attention(
+        {f"_attention.{kk}": v for kk, v in sd.items()},
+        transition=transition)
+    variables["params"] = override(variables["params"], ported, strict=True)
+    got_ctx, got_w, new_state = att.apply(variables, *args)
+    tag = "fwd_trans" if transition else "fwd"
+    report(f"{tag}_context", got_ctx, want_ctx.numpy(), atol=1e-5)
+    report(f"{tag}_weights", got_w, want_w.numpy(), atol=1e-5)
+    if transition:
+        report(f"{tag}_t_prob", new_state["t_prob"],
+               tatt._t_prob.numpy(), atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
