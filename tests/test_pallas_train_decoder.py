@@ -404,12 +404,18 @@ def test_training_loss_decreases(monkeypatch):
     assert losses[-1] < losses[0], losses
 
 
-@pytest.mark.parametrize("regularization", ["zoneout", "dropout"])
-def test_eval_mode_parity_vs_xla(monkeypatch, regularization):
+@pytest.mark.parametrize("regularization,attention_type",
+                         [("zoneout", "location_sensitive"),
+                          ("dropout", "location_sensitive"),
+                          ("zoneout", "forward_transition_agent")])
+def test_eval_mode_parity_vs_xla(monkeypatch, regularization,
+                                 attention_type):
     """Eval/GTA teacher-forced forward: deterministic zoneout interpolation
     (models/rnn.py:79-81) makes the eval path exactly comparable with
-    NONZERO zoneout rates — only prenet dropout must be disabled."""
-    hp = make_hp(regularization)
+    NONZERO zoneout rates — only prenet dropout must be disabled.  The
+    transition-agent case covers the eval kernel's residual-free t_prob
+    carry (round 3)."""
+    hp = make_hp(regularization, attention_type=attention_type)
     hp.zoneout_hidden = 0.1
     hp.zoneout_cell = 0.1
     hp.dropout = 0.0        # the one remaining stochastic op at eval
