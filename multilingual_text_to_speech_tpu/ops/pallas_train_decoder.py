@@ -71,11 +71,12 @@ from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
     extract_decoder_bundle,
 )
 
-# the TRAIN kernels keep the single A-major attention fold (the serving
-# kernel's T-blocked long-text layout is inference-only), so their coarse
-# text-length bound stays at the single-fold limit; the real gate is the
-# fits_vmem byte model below
-_MAX_MEMORY_LEN = 256
+# round 3: the TRAIN kernels adopt the serving kernel's T-blocked
+# attention layout above 128 symbols (location-sensitive; the forward
+# family's operands grow linearly with T and keep the single fold), so
+# the coarse bound matches serving; the real gate is the fits_vmem byte
+# model below
+_MAX_MEMORY_LEN = 512
 
 
 _ATT_KINDS = {
@@ -151,11 +152,26 @@ class _Cfg:
     def __init__(self, *, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
                  dropout_rate, zoneout_h, zoneout_c, use_zoneout, dtype,
                  fwd_chunk, bwd_chunk, train=True, n_prenet=2,
-                 att_kind="ls"):
+                 att_kind="ls", loc_half=15):
         assert att_kind in ("ls", "fwd", "fwd_trans"), att_kind
         self.att_kind = att_kind
         self.fwd_trans = att_kind == "fwd_trans"
         self.n_prenet = int(n_prenet)
+        # T-blocked attention fold (ls only, round 3): above 128 symbols
+        # the energy operands and the dband accumulator grow T*Tb instead
+        # of T^2 — the difference between flagship training fitting VMEM
+        # at ~170 symbols (single fold) and at 512 (blocked)
+        self.loc_half = int(loc_half)
+        if att_kind == "ls" and t_len > 128:
+            self.t_block = next((tb for tb in (128, 64)
+                                 if t_len % tb == 0 and tb > self.loc_half),
+                                t_len)
+        else:
+            self.t_block = t_len
+        self.n_blocks = t_len // self.t_block
+        self.at_b = att_dim * self.t_block
+        # uniform per-block window rows (padded to the 8-sublane grid)
+        self.w_pad = -(-(self.t_block + 2 * self.loc_half) // 8) * 8
         (self.salt_sites, self.salt_att_h, self.salt_att_c,
          self.salt_gen_h, self.salt_gen_c) = _salt_layout(n_prenet)
         self.t_len = t_len
@@ -205,6 +221,36 @@ def _matmul(x, w_ref, dtype, contract=(1, 0)):
         dimension_numbers=(((contract[0],), (contract[1],)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+
+
+def _band_blocks_uniform(bundle, cfg, dtype):
+    """Blocked location-conv operand with UNIFORM padded windows, stacked
+    to one [n_blocks * w_pad, A*Tb] matrix (the train kernels' dband
+    accumulator mirrors this shape, so the window geometry must be static
+    and identical across blocks; rows mapping to source positions outside
+    [0, T) or taps outside the filter are zero).
+
+    Differentiable in ``bundle['lc']`` — the dband cotangent folds back to
+    the conv filter automatically."""
+    lc = bundle["lc"]
+    k_size = lc.shape[0]
+    half = (k_size - 1) // 2
+    assert half == cfg.loc_half, (half, cfg.loc_half)
+    tb, w = cfg.t_block, cfg.w_pad
+    blocks = []
+    for j in range(cfg.n_blocks):
+        s_idx = jnp.arange(j * tb - half, j * tb - half + w)[:, None]
+        t_idx = jnp.arange(j * tb, (j + 1) * tb)[None, :]
+        tap = s_idx - t_idx + half
+        valid = ((tap >= 0) & (tap < k_size)
+                 & (s_idx >= 0) & (s_idx < cfg.t_len))
+        band_stj = jnp.where(
+            valid[:, :, None],
+            jnp.take(lc, jnp.clip(tap, 0, k_size - 1), axis=0),
+            0.0)                                          # [W, Tb, A]
+        blocks.append(jnp.swapaxes(band_stj, 1, 2).reshape(
+            w, cfg.att_dim * tb))
+    return jnp.concatenate(blocks, axis=0).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -371,17 +417,41 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
             if cfg.train:
                 r_cum_ref[s] = cum.astype(d)  # state BEFORE this step
             q = _matmul(h_att, wq_ref, d).astype(d)
-            qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
-            if cfg.att_kind == "ls":
+            qt = _q_broadcast(q, cfg.t_block, cfg.att_dim)
+            if cfg.att_kind == "ls" and cfg.n_blocks > 1:
+                # T-blocked energy fold: per-block banded loc windows on a
+                # half-padded cum copy (window starts land lane-aligned at
+                # j*Tb), operands grow T*Tb instead of T^2
+                bb_rows = cum.shape[0]
+                cum_pad = jnp.concatenate([
+                    jnp.zeros((bb_rows, cfg.loc_half), cum.dtype), cum,
+                    jnp.zeros((bb_rows, cfg.w_pad - cfg.t_block
+                               - cfg.loc_half), cum.dtype)], axis=1)
+                parts = []
+                for jb in range(cfg.n_blocks):
+                    win = cum_pad[:, jb * cfg.t_block:
+                                  jb * cfg.t_block + cfg.w_pad]
+                    band_j = band_ref[jb * cfg.w_pad:(jb + 1) * cfg.w_pad]
+                    loc_j = jax.lax.dot_general(
+                        win.astype(d), band_j,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(d)
+                    tz_j = jnp.tanh(
+                        loc_j + qt
+                        + mt_ref[:, jb * cfg.at_b:(jb + 1) * cfg.at_b])
+                    parts.append(_chunk_tree_sum(
+                        tz_j.astype(jnp.float32) * vt_ref[:], cfg.t_block))
+                e = jnp.concatenate(parts, axis=1) + mask_add
+            elif cfg.att_kind == "ls":
                 loc = _matmul(cum, band_ref, d).astype(d)
                 tz = jnp.tanh(loc + qt + mt_ref[:])
+                e = _chunk_tree_sum(
+                    tz.astype(jnp.float32) * vt_ref[:], cfg.t_len) + mask_add
             else:
                 # forward family: same energy net, no location conv
                 tz = jnp.tanh(qt + mt_ref[:])
-            e = _chunk_tree_sum(
-                tz.astype(jnp.float32) * vt_ref[:], cfg.t_len)
-            if cfg.att_kind == "ls":
-                e = e + mask_add
+                e = _chunk_tree_sum(
+                    tz.astype(jnp.float32) * vt_ref[:], cfg.t_len)
             e = e - jnp.max(e, axis=-1, keepdims=True)
             p = jnp.exp(e)
             if cfg.att_kind == "ls":
@@ -677,8 +747,66 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             # and the v-cotangent is a [1, A*T] row, not the old [A*T, T]
             # dred accumulator)
             q = _matmul(h_att_s, wq_ref, d).astype(d)
-            qt = _q_broadcast(q, cfg.t_len, cfg.att_dim)
-            if cfg.att_kind == "ls":
+            qt = _q_broadcast(q, cfg.t_block, cfg.att_dim)
+            if cfg.att_kind == "ls" and cfg.n_blocks > 1:
+                # T-blocked backward: replay each block's banded window,
+                # accumulate dmt/dband/dvt per block, gather dq and the
+                # windowed dcum scatter on a half-padded lane layout
+                de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
+                bb_rows = cum_s.shape[0]
+                pad_tail = cfg.w_pad - cfg.t_block - cfg.loc_half
+                cum_pad = jnp.concatenate([
+                    jnp.zeros((bb_rows, cfg.loc_half), cum_s.dtype), cum_s,
+                    jnp.zeros((bb_rows, pad_tail), cum_s.dtype)], axis=1)
+                dq = jnp.zeros((bb_rows, cfg.att_dim), jnp.float32)
+                dcum_pad = jnp.zeros(
+                    (bb_rows, cum_pad.shape[1]), jnp.float32)
+                for jb in range(cfg.n_blocks):
+                    lo_l, hi_l = jb * cfg.at_b, (jb + 1) * cfg.at_b
+                    win = cum_pad[:, jb * cfg.t_block:
+                                  jb * cfg.t_block + cfg.w_pad]
+                    band_j = band_ref[jb * cfg.w_pad:(jb + 1) * cfg.w_pad]
+                    loc_j = jax.lax.dot_general(
+                        win.astype(d), band_j,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32).astype(d)
+                    tz_j = jnp.tanh(loc_j + qt + mt_ref[:, lo_l:hi_l])
+                    de_j = de[:, jb * cfg.t_block:(jb + 1) * cfg.t_block]
+                    de_t_j = jnp.concatenate([de_j] * cfg.att_dim, axis=1)
+                    dtz_j = de_t_j * vt_ref[:]
+                    dz_j = dtz_j * (1.0 - tz_j.astype(jnp.float32) ** 2)
+                    dmt_acc_ref[:, lo_l:hi_l] += dz_j
+                    dband_acc_ref[jb * cfg.w_pad:(jb + 1) * cfg.w_pad] += (
+                        jax.lax.dot_general(
+                            win.astype(d), dz_j.astype(d),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+                    dvt_acc_ref[:] += jnp.sum(
+                        tz_j.astype(jnp.float32) * de_t_j, axis=0,
+                        keepdims=True)
+                    dq = dq + jnp.concatenate(
+                        [jnp.sum(dz_j[:, a * cfg.t_block:
+                                      (a + 1) * cfg.t_block],
+                                 axis=1, keepdims=True)
+                         for a in range(cfg.att_dim)], axis=1)
+                    dwin_j = jax.lax.dot_general(
+                        dz_j.astype(d), band_j,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # [B, W]
+                    before = jb * cfg.t_block
+                    after = dcum_pad.shape[1] - before - cfg.w_pad
+                    dcum_pad = dcum_pad + jnp.concatenate([
+                        jnp.zeros((bb_rows, before), jnp.float32), dwin_j,
+                        jnp.zeros((bb_rows, after), jnp.float32)], axis=1)
+                o_dcum_ref[:] += dcum_pad[:, cfg.loc_half:
+                                          cfg.loc_half + cfg.t_len]
+                dwq_acc_ref[:] += jax.lax.dot_general(
+                    h_att_s.astype(d), dq.astype(d),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d,
+                                                  contract=(1, 1))
+            elif cfg.att_kind == "ls":
                 loc = _matmul(cum_s, band_ref, d).astype(d)
                 tz = jnp.tanh(loc + qt + mt_ref[:])
                 # softmax backward straight off the stored weights
@@ -723,29 +851,34 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                                                     contract=(1, 1))
                 de = energy * (denergy - jnp.sum(
                     denergy * energy, axis=-1, keepdims=True))
-            de_t = jnp.concatenate([de] * cfg.att_dim, axis=1)  # [B, A*T]
-            dtz = de_t * vt_ref[:]
-            dz = dtz * (1.0 - tz.astype(jnp.float32) ** 2)
-            dmt_acc_ref[:] += dz
-            if cfg.att_kind == "ls":
-                dband_acc_ref[:] += jax.lax.dot_general(
-                    cum_s.astype(d), dz.astype(d),
+            if not (cfg.att_kind == "ls" and cfg.n_blocks > 1):
+                # single-fold tail (the blocked branch above did all of
+                # this per block)
+                de_t = jnp.concatenate([de] * cfg.att_dim, axis=1)
+                dtz = de_t * vt_ref[:]
+                dz = dtz * (1.0 - tz.astype(jnp.float32) ** 2)
+                dmt_acc_ref[:] += dz
+                if cfg.att_kind == "ls":
+                    dband_acc_ref[:] += jax.lax.dot_general(
+                        cum_s.astype(d), dz.astype(d),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                dvt_acc_ref[:] += jnp.sum(
+                    tz.astype(jnp.float32) * de_t, axis=0, keepdims=True)
+                # dq[b, a] = sum over the a-th T-lane chunk of dz
+                dq = jnp.concatenate(
+                    [jnp.sum(dz[:, a * cfg.t_len:(a + 1) * cfg.t_len],
+                             axis=1, keepdims=True)
+                     for a in range(cfg.att_dim)], axis=1)
+                dwq_acc_ref[:] += jax.lax.dot_general(
+                    h_att_s.astype(d), dq.astype(d),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            dvt_acc_ref[:] += jnp.sum(
-                tz.astype(jnp.float32) * de_t, axis=0, keepdims=True)
-            # dq[b, a] = sum over the a-th T-lane chunk of dz
-            dq = jnp.concatenate(
-                [jnp.sum(dz[:, a * cfg.t_len:(a + 1) * cfg.t_len],
-                         axis=1, keepdims=True)
-                 for a in range(cfg.att_dim)], axis=1)
-            dwq_acc_ref[:] += jax.lax.dot_general(
-                h_att_s.astype(d), dq.astype(d),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d, contract=(1, 1))
-            if cfg.att_kind == "ls":
-                o_dcum_ref[:] += _matmul(dz, band_ref, d, contract=(1, 1))
+                dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d,
+                                                  contract=(1, 1))
+                if cfg.att_kind == "ls":
+                    o_dcum_ref[:] += _matmul(dz, band_ref, d,
+                                             contract=(1, 1))
 
             # ---- attention LSTM ----------------------------------------
             dgates_a, dh_prev_reg_a, dc_prev_a = cell_backward(
@@ -801,6 +934,7 @@ def _make_cfg(hp, *, t_len: int, mem_dim: int, att_dim: int, dtype,
         prenet_dim=int(hp.prenet_dimension),
         n_prenet=int(getattr(hp, "prenet_layers", 2)),
         att_kind=_ATT_KINDS[hp.attention_type],
+        loc_half=(int(getattr(hp, "attention_kernel_size", 31)) - 1) // 2,
         dropout_rate=float(hp.dropout),
         zoneout_h=zo_h, zoneout_c=zo_c, use_zoneout=use_zoneout,
         dtype=dtype, fwd_chunk=fwd_chunk, bwd_chunk=bwd_chunk,
@@ -833,8 +967,10 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         + cfg.mmel * cfg.prenet_dim        # prenet layer 0
         + (cfg.n_prenet - 1) * cfg.prenet_dim * cfg.prenet_dim
         + cfg.hidden * a                   # wq
-        # band: [T, A*T] conv fold (ls) or [T, T] shift matrix (fwd)
-        + (t * at if cfg.att_kind == "ls" else t * t)
+        # band: banded conv fold (ls; T-blocked above 128 symbols) or the
+        # [T, T] shift matrix (fwd)
+        + (cfg.n_blocks * cfg.w_pad * cfg.at_b if cfg.att_kind == "ls"
+           else t * t)
         + bb * at                          # mt_am
         + bb * t * _r128(cfg.mem_dim)      # memory
     ) + 4 * at \
@@ -844,9 +980,9 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         fixed += 4 * (cfg.mem_dim + cfg.hidden + cfg.prenet_dim
                       + 3 * 128) + 4 * bb * 4 * 128
     if backward:
-        fixed += 4 * (bb * at + at + cfg.hidden * a)           # f32 accs
+        fixed += 4 * (bb * at + cfg.at_b + cfg.hidden * a)     # f32 accs
         if cfg.att_kind == "ls":
-            fixed += 4 * t * at                                # dband acc
+            fixed += 4 * cfg.n_blocks * cfg.w_pad * cfg.at_b   # dband acc
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
         # residual reads: h_att, c_att, c_gen, cum, prenet outs, acts x2
@@ -976,9 +1112,12 @@ def _bwd_call(cfg: _Cfg, steps: int, b: int, interpret: bool):
         *((jax.ShapeDtypeStruct((steps, b, _LANES), f32),)  # dlin
           if fwd_trans else ()),
         jax.ShapeDtypeStruct((b, a * t), f32),         # dmt_acc
-        *((jax.ShapeDtypeStruct((t, a * t), f32),)     # dband_acc (ls)
+        # dband_acc (ls): stacked uniform windows when T-blocked
+        *((jax.ShapeDtypeStruct(
+            (cfg.n_blocks * cfg.w_pad, cfg.at_b) if cfg.n_blocks > 1
+            else (t, a * t), f32),)
           if cfg.att_kind == "ls" else ()),
-        jax.ShapeDtypeStruct((1, a * t), f32),         # dvt_acc
+        jax.ShapeDtypeStruct((1, cfg.at_b), f32),      # dvt_acc
         jax.ShapeDtypeStruct((hid, a), f32),           # dwq_acc
         jax.ShapeDtypeStruct((b, hid), f32),           # carry out...
         jax.ShapeDtypeStruct((b, hid), f32),
@@ -1336,7 +1475,12 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
         # gradients for lc/v/bias flow out of the band/vt/mt_am cotangents
         bundle = extract_decoder_bundle(
             None, compute_dtype=jnp.float32, cell_params=cell_params)
-        if cfg.att_kind == "ls":
+        if cfg.att_kind == "ls" and cfg.n_blocks > 1:
+            # T-blocked banded windows, stacked uniform (round 3: lifts
+            # the fused-training text ceiling past the single fold's
+            # T^2 VMEM growth)
+            band = _band_blocks_uniform(bundle, cfg, jnp.float32)
+        elif cfg.att_kind == "ls":
             band = _band_blocks(bundle, t_len, att_dim, t_len,
                                 jnp.float32)[0]
         else:
@@ -1344,9 +1488,10 @@ def make_train_decode_fn(hp, dtype=jnp.float32, interpret: bool = False,
             # static [T, T] superdiagonal matmul operand (constant — its
             # cotangent is discarded)
             band = jnp.asarray(np.eye(t_len, k=1, dtype=np.float32))
-        vt = jnp.repeat(bundle["v"].astype(jnp.float32), t_len)[None, :]
+        vt = jnp.repeat(bundle["v"].astype(jnp.float32),
+                        cfg.t_block)[None, :]
         mt_am = _mt_operand(bundle, memory_transform, t_len, att_dim,
-                            t_len, jnp.float32)
+                            cfg.t_block, jnp.float32)
         ops = {k: bundle[k] for k in _weight_order(cfg.n_prenet, "ls")}
         ops.update(band=band, vt=vt, mt_am=mt_am)
         if cfg.fwd_trans:

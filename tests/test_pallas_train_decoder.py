@@ -159,6 +159,77 @@ def test_grad_parity_vs_xla(monkeypatch, regularization, prenet_layers,
             jax.tree_util.keystr(pa), np.abs(a - b).max(), scale)
 
 
+@pytest.mark.parametrize("text_len,check_grads", [(256, True), (192, False)])
+def test_blocked_attention_parity(monkeypatch, text_len, check_grads):
+    """Round 3: above 128 symbols the location-sensitive train kernels use
+    the serving kernel's T-blocked attention layout (Tb=128, or 64 when
+    128 does not divide the bucket) — operands and the dband accumulator
+    grow T*Tb instead of T^2, lifting the flagship training text ceiling
+    from ~170 (single fold) to 512 symbols."""
+    from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
+
+    hp = make_hp()
+    cfg = pallas_train_decoder._make_cfg(
+        hp, t_len=text_len, mem_dim=32,
+        att_dim=int(hp.attention_dimension), dtype=jnp.float32)
+    assert cfg.n_blocks > 1, (text_len, cfg.t_block)
+    model, variables, args = build(hp, batch=2, text_len=text_len,
+                                   frames=10)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    ox = run_model(model, variables, args, 1.0)
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    of = run_model(model, variables, args, 1.0)
+    for k in ("pre_prediction", "post_prediction", "stop_token",
+              "alignment"):
+        # blocked accumulation reorders float sums vs the XLA scan's
+        # single fold — slightly looser than the exact-order tests
+        np.testing.assert_allclose(
+            np.asarray(ox[k]), np.asarray(of[k]), atol=2e-5, err_msg=k)
+    if not check_grads:
+        return
+    (text, lengths, target, tlen, speakers, languages) = args
+
+    def loss_fn(params):
+        k = jax.random.PRNGKey(3)
+        out, _ = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            text, lengths, target, tlen, speakers, languages,
+            1.0, k, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.fold_in(k, 1)})
+        return (jnp.mean((out["pre_prediction"] - target) ** 2)
+                + 0.1 * jnp.mean(out["stop_token"] ** 2)
+                + 0.05 * jnp.mean(out["alignment"] ** 2))
+
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
+    gx = jax.grad(loss_fn)(variables["params"])
+    monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "interpret")
+    gf = jax.grad(loss_fn)(variables["params"])
+    for (pa, va), (_, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(gx),
+            jax.tree_util.tree_leaves_with_path(gf)):
+        a, b = np.asarray(va), np.asarray(vb)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(a - b).max() / scale < 1e-3, (
+            jax.tree_util.keystr(pa), np.abs(a - b).max(), scale)
+
+
+def test_blocked_vmem_ceiling():
+    """The T-blocked layout is what makes flagship-dim training fit VMEM
+    past the old ~170-symbol single-fold wall (PARITY.md row: train text
+    len)."""
+    from __graft_entry__ import _flagship_hp
+    from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
+
+    hp = _flagship_hp()
+    a = int(hp.attention_dimension)
+    assert pallas_train_decoder.fits_vmem(
+        hp, 50, 256, 528, a, dtype=jnp.bfloat16, train=True)
+    assert pallas_train_decoder.fits_vmem(
+        hp, 16, 512, 528, a, dtype=jnp.bfloat16, train=True)
+    assert pallas_train_decoder.supports_shapes(16, 512)
+
+
 # ---------------------------------------------------------------------------
 # stochastic gold check: pure-JAX replica drawing the kernel's exact masks
 # ---------------------------------------------------------------------------
