@@ -68,19 +68,22 @@ def main():
     # (attention, prenet depth); deterministic regularization so the XLA
     # scan and the kernel draw no PRNG (stochastic parity is covered by
     # the interpret-mode replica tests)
+    # (attention, prenet depth, text_len); 256 exercises the round-3
+    # T-blocked train fold (2 blocks) at flagship dims
     cases = [
-        ("forward", 2),
-        ("forward_transition_agent", 2),
-        ("location_sensitive", 3),
-        ("location_sensitive", 1),
+        ("forward", 2, 128),
+        ("forward_transition_agent", 2, 128),
+        ("location_sensitive", 3, 128),
+        ("location_sensitive", 1, 128),
+        ("location_sensitive", 2, 256),
     ]
     rng_np = np.random.RandomState(0)
     # batch must divide by the 5 languages (generated encoder grouping)
-    batch, text_len, frames = 20, 128, 128
+    batch, frames = 20, 128
     if cpu_smoke:
-        batch, text_len, frames = 5, 24, 16
-        cases = cases[:2]
-    for att_type, n_prenet in cases:
+        batch, frames = 5, 16
+        cases = [(a, n, 24) for a, n, _ in cases[:2]]
+    for att_type, n_prenet, text_len in cases:
         hp = _flagship_hp(tiny=cpu_smoke)
         hp.attention_type = att_type
         hp.prenet_layers = n_prenet
