@@ -71,13 +71,19 @@ def main(argv=None):
     # ONLY difference between paths is the decode implementation
     hp.dropout = 0.0
 
-    def free_run(use_fused: bool, use_int8: bool):
+    def free_run(use_fused: bool, use_int8: bool, use_streams: bool = False):
         hp.use_pallas_decoder = use_fused
         hp.pallas_decoder_int8 = use_int8
         os.environ["MTTS_PALLAS_DECODER"] = "interpret" if use_fused else "off"
+        # int8 memory/memory-transform streams (round 3): the interpreter
+        # runs the exact quantization math, so the MCD number here equals
+        # the on-hardware quality of the streams mode
+        os.environ["MTTS_PALLAS_INT8_STREAMS"] = "1" if use_streams else "0"
         synth = Synthesizer(hp, variables)
-        return [synth.spectrogram_from_ids(np.asarray(list(ids)))
-                for ids, _ in eval_items]
+        out = [synth.spectrogram_from_ids(np.asarray(list(ids)))
+               for ids, _ in eval_items]
+        os.environ.pop("MTTS_PALLAS_INT8_STREAMS", None)
+        return out
 
     class _McdHp:  # mel_cepstral_distortion only reads num_mfcc
         num_mfcc = 13
@@ -86,6 +92,7 @@ def main(argv=None):
         "xla_f32": free_run(False, False),
         "fused_f32": free_run(True, False),
         "fused_int8": free_run(True, True),
+        "fused_int8_streams": free_run(True, True, use_streams=True),
     }
     results = {"steps": args.steps, "final_loss": curve[-1][1]}
     for name, specs in paths.items():
@@ -98,14 +105,26 @@ def main(argv=None):
     results["int8_vs_f32_mcd"] = float(np.mean(cross))
     results["abs_mcd_delta"] = abs(
         results["fused_int8_mcd_dtw"] - results["fused_f32_mcd_dtw"])
+    cross_s = [mel_cepstral_distortion(a, b, _McdHp, mode="dtw")
+               for a, b in zip(paths["fused_f32"],
+                               paths["fused_int8_streams"])]
+    results["int8_streams_vs_f32_mcd"] = float(np.mean(cross_s))
+    results["abs_mcd_delta_streams"] = abs(
+        results["fused_int8_streams_mcd_dtw"]
+        - results["fused_f32_mcd_dtw"])
 
     print(json.dumps(results, indent=2))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=2)
     bar = 0.1
-    ok = results["abs_mcd_delta"] < bar and results["int8_vs_f32_mcd"] < bar
-    print(f"|dMCD(int8 - f32)| = {results['abs_mcd_delta']:.4f} "
+    ok = (results["abs_mcd_delta"] < bar
+          and results["int8_vs_f32_mcd"] < bar
+          and results["abs_mcd_delta_streams"] < bar
+          and results["int8_streams_vs_f32_mcd"] < bar)
+    print(f"|dMCD(int8 - f32)| = {results['abs_mcd_delta']:.4f}, "
+          f"|dMCD(int8+streams - f32)| = "
+          f"{results['abs_mcd_delta_streams']:.4f} "
           f"(bar {bar}): {'PASS' if ok else 'FAIL'}")
     if not ok:
         raise SystemExit(1)

@@ -275,6 +275,18 @@ class Decoder(nn.Module):
                 train=self.train,
             )
             cell_params = self.variables["params"]["cell"]
+            # 32-multiple text buckets above 128 pad to the next 64
+            # multiple for the T-blocked fold (exact for ls: the masked
+            # -inf softmax zeroes padded positions; alignments sliced
+            # back below, cotangents flow through the pad transpose)
+            t_fused = pallas_train_decoder.padded_t_len(
+                t, self.hp_model.attention_type)
+            if t_fused != t:
+                pad = t_fused - t
+                memory = jnp.pad(memory, ((0, 0), (0, pad), (0, 0)))
+                memory_transform = jnp.pad(
+                    memory_transform, ((0, 0), (0, pad), (0, 0)))
+                mask = jnp.pad(mask, ((0, 0), (0, pad)))
             if self.mesh is not None and self.mesh.size > 1:
                 # the XLA SPMD partitioner cannot shard the Pallas custom
                 # call by itself, so the decode runs per-shard via
@@ -319,12 +331,16 @@ class Decoder(nn.Module):
                     out_specs=(P(axes), P(axes), P(axes)),
                     check_vma=False,
                 )
-                return fn(cell_params, memory, memory_transform, mask,
-                          shifted, teacher, rng_steps)
-            spec, stops, aligns = decode(
-                cell_params, memory, memory_transform,
-                mask, shifted, teacher, rng_steps,
-            )
+                spec, stops, aligns = fn(
+                    cell_params, memory, memory_transform, mask,
+                    shifted, teacher, rng_steps)
+            else:
+                spec, stops, aligns = decode(
+                    cell_params, memory, memory_transform,
+                    mask, shifted, teacher, rng_steps,
+                )
+            if t_fused != t:   # padded weights are exactly zero (ls)
+                aligns = aligns[:, :, :t]
             return spec, stops, aligns
 
         step_rngs = jax.random.split(rng_steps, frames)
@@ -399,6 +415,9 @@ class Decoder(nn.Module):
             # plain apply (no sharded inputs): runs on the default device
             mesh_ok = n_dev == 1 or force == "interpret"
             shard_batch_size = batch
+        # shape/VMEM checks run at the PADDED length the fused branch
+        # will actually decode (64-multiple routing pad above 128, ls)
+        t_len = pallas_train_decoder.padded_t_len(t_len, hp.attention_type)
         return (
             bool(getattr(hp, "use_pallas_train_decoder", False))
             and pallas_train_decoder.supports(hp)

@@ -101,6 +101,22 @@ def supports(hp) -> bool:
     )
 
 
+def padded_t_len(t_len: int, attention_type: str) -> int:
+    """Fused-train text length after routing padding.
+
+    Above 128 symbols the location-sensitive kernels need a 64-divisible
+    length for the T-blocked fold; 32-multiple buckets (160, 224, ...)
+    pad up to the next 64 multiple.  Padding is semantics-preserving for
+    ls ONLY — its masked -inf softmax zeroes padded positions exactly,
+    while the forward family's UNMASKED energy softmax would shift mass
+    onto them (those lengths keep the single fold, whose operands grow
+    linearly with T for that family anyway)."""
+    if (_ATT_KINDS.get(attention_type) != "ls" or t_len <= 128
+            or t_len % 64 == 0):
+        return t_len
+    return -(-t_len // 64) * 64
+
+
 def supports_shapes(batch: int, memory_len: int) -> bool:
     """Coarse per-call shape gate: one batch block, VMEM-resident attention.
 

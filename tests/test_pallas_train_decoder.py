@@ -159,20 +159,24 @@ def test_grad_parity_vs_xla(monkeypatch, regularization, prenet_layers,
             jax.tree_util.keystr(pa), np.abs(a - b).max(), scale)
 
 
-@pytest.mark.parametrize("text_len,check_grads", [(256, True), (192, False)])
+@pytest.mark.parametrize("text_len,check_grads",
+                         [(256, True), (192, False), (160, False)])
 def test_blocked_attention_parity(monkeypatch, text_len, check_grads):
     """Round 3: above 128 symbols the location-sensitive train kernels use
     the serving kernel's T-blocked attention layout (Tb=128, or 64 when
     128 does not divide the bucket) — operands and the dband accumulator
     grow T*Tb instead of T^2, lifting the flagship training text ceiling
-    from ~170 (single fold) to 512 symbols."""
+    from ~170 (single fold) to 512 symbols.  160 exercises the 64-multiple
+    ROUTING PAD (160 -> 192) applied inside the Decoder's fused branch —
+    exact for ls because the masked -inf softmax zeroes padded positions."""
     from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
 
     hp = make_hp()
+    t_fused = pallas_train_decoder.padded_t_len(text_len, hp.attention_type)
     cfg = pallas_train_decoder._make_cfg(
-        hp, t_len=text_len, mem_dim=32,
+        hp, t_len=t_fused, mem_dim=32,
         att_dim=int(hp.attention_dimension), dtype=jnp.float32)
-    assert cfg.n_blocks > 1, (text_len, cfg.t_block)
+    assert cfg.n_blocks > 1, (text_len, t_fused, cfg.t_block)
     model, variables, args = build(hp, batch=2, text_len=text_len,
                                    frames=10)
     monkeypatch.setenv("MTTS_PALLAS_TRAIN_DECODER", "off")
