@@ -24,9 +24,20 @@ def main():
         Tacotron, tacotron_loss)
     from multilingual_text_to_speech_tpu.training.trainer import make_optimizer
 
+    import sys
+
     hp = _flagship_hp()
     model = Tacotron(hp, train=True, dtype=jnp.bfloat16)
+    # optional: text_len [batch] positional overrides, e.g.
+    #   python tools/profile_train_step.py 256        (T-blocked fold)
     batch, text_len, frames = 50, 128, 512
+    argv = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if argv:
+        text_len = int(argv[0])
+    if len(argv) > 1:
+        batch = int(argv[1])
+    print(f"profiling batch={batch} text_len={text_len} frames={frames}",
+          flush=True)
     arrays = _make_batch(hp, batch, text_len, frames)
     (text, text_lengths, target, target_lengths, stop,
      speakers, languages) = arrays
