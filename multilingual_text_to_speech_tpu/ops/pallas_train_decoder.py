@@ -239,6 +239,14 @@ def _matmul(x, w_ref, dtype, contract=(1, 0)):
     )
 
 
+def _cat_nonempty(parts):
+    """Lane-concat skipping zero-width segments (Mosaic cannot lower
+    zero-column operands; edge blocks of the T-blocked layout produce
+    them)."""
+    parts = [p for p in parts if p.shape[-1] > 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _band_blocks_uniform(bundle, cfg, dtype):
     """Blocked location-conv operand with UNIFORM padded windows, stacked
     to one [n_blocks * w_pad, A*Tb] matrix (the train kernels' dband
@@ -439,10 +447,10 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                 # half-padded cum copy (window starts land lane-aligned at
                 # j*Tb), operands grow T*Tb instead of T^2
                 bb_rows = cum.shape[0]
-                cum_pad = jnp.concatenate([
+                cum_pad = _cat_nonempty([
                     jnp.zeros((bb_rows, cfg.loc_half), cum.dtype), cum,
                     jnp.zeros((bb_rows, cfg.w_pad - cfg.t_block
-                               - cfg.loc_half), cum.dtype)], axis=1)
+                               - cfg.loc_half), cum.dtype)])
                 parts = []
                 for jb in range(cfg.n_blocks):
                     win = cum_pad[:, jb * cfg.t_block:
@@ -771,9 +779,9 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                 de = w_s * (dw - jnp.sum(dw * w_s, axis=-1, keepdims=True))
                 bb_rows = cum_s.shape[0]
                 pad_tail = cfg.w_pad - cfg.t_block - cfg.loc_half
-                cum_pad = jnp.concatenate([
+                cum_pad = _cat_nonempty([
                     jnp.zeros((bb_rows, cfg.loc_half), cum_s.dtype), cum_s,
-                    jnp.zeros((bb_rows, pad_tail), cum_s.dtype)], axis=1)
+                    jnp.zeros((bb_rows, pad_tail), cum_s.dtype)])
                 dq = jnp.zeros((bb_rows, cfg.att_dim), jnp.float32)
                 dcum_pad = jnp.zeros(
                     (bb_rows, cum_pad.shape[1]), jnp.float32)
@@ -811,9 +819,9 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                         preferred_element_type=jnp.float32)   # [B, W]
                     before = jb * cfg.t_block
                     after = dcum_pad.shape[1] - before - cfg.w_pad
-                    dcum_pad = dcum_pad + jnp.concatenate([
+                    dcum_pad = dcum_pad + _cat_nonempty([
                         jnp.zeros((bb_rows, before), jnp.float32), dwin_j,
-                        jnp.zeros((bb_rows, after), jnp.float32)], axis=1)
+                        jnp.zeros((bb_rows, after), jnp.float32)])
                 o_dcum_ref[:] += dcum_pad[:, cfg.loc_half:
                                           cfg.loc_half + cfg.t_len]
                 dwq_acc_ref[:] += jax.lax.dot_general(
