@@ -72,6 +72,38 @@ def fused_lstm(sd, prefix) -> dict:
     return {"cell": {"gates": {"kernel": kernel, "bias": b}}}
 
 
+def bigru(sd, prefix) -> dict:
+    """torch nn.GRU(bidirectional, 1 layer) weights -> flax GRUCell params.
+
+    torch stacks (r, z, n) gate blocks in weight_ih [3h, in] / weight_hh
+    [3h, h]; flax GRUCell keeps per-gate denses ``ir/iz/in`` (with bias) and
+    ``hr/hz/hn`` (bias only on ``hn``).  Both factor the candidate gate as
+    ``n = tanh(W_in x + b_in + r * (W_hn h + b_hn))``, so torch's b_hn maps
+    to the flax ``hn`` bias while b_ir/b_iz fold into ``ir``/``iz``."""
+
+    def one_direction(suffix):
+        w_ih = t2j(sd[f"{prefix}.weight_ih_l0{suffix}"])
+        w_hh = t2j(sd[f"{prefix}.weight_hh_l0{suffix}"])
+        b_ih = t2j(sd[f"{prefix}.bias_ih_l0{suffix}"])
+        b_hh = t2j(sd[f"{prefix}.bias_hh_l0{suffix}"])
+        h = w_hh.shape[1]
+        p = {}
+        for gi, gate in enumerate(("r", "z", "n")):
+            sl = slice(gi * h, (gi + 1) * h)
+            p[f"i{gate}"] = {
+                "kernel": w_ih[sl].T,
+                "bias": b_ih[sl] + (b_hh[sl] if gate != "n" else 0.0),
+            }
+            p[f"h{gate}"] = {"kernel": w_hh[sl].T}
+        p["hn"]["bias"] = b_hh[2 * h:3 * h]
+        return p
+
+    return {
+        "GRUCell_0": one_direction(""),
+        "GRUCell_1": one_direction("_reverse"),
+    }
+
+
 def bilstm(sd, prefix) -> dict:
     """torch nn.LSTM(bidirectional) weights -> flax OptimizedLSTMCell params
     (per-gate denses, order i/f/g/o).  The two cells live directly in the
@@ -226,51 +258,129 @@ def port_decoder(sd, hp, prefix=""):
 N_GENERATED_LAYERS = 14
 
 
+def _stack_trees(trees):
+    """Stack same-structured numpy pytrees along a new leading axis (for the
+    vmapped MultiEncoder whose parameters carry a leading language axis)."""
+    first = trees[0]
+    if isinstance(first, dict):
+        return {k: _stack_trees([t[k] for t in trees]) for k in first}
+    return np.stack([np.asarray(t) for t in trees])
+
+
+def port_simple_encoder(sd, prefix, hp):
+    """Reference vanilla Encoder (conv stack + packed BiLSTM,
+    modules/encoder.py:9-45) under ``prefix`` -> (params, batch_stats)."""
+    enc, stats = {}, {}
+    for i in range(hp.encoder_blocks):
+        blk, st = port_convblock(sd, f"{prefix}._convs.{i}.")
+        enc[f"conv{i}"] = blk
+        stats[f"conv{i}"] = st
+    enc.update(bilstm(sd, f"{prefix}._lstm"))
+    return enc, stats
+
+
+def port_convolutional_encoder(sd, prefix, generated, hp):
+    """Reference (Generated)ConvolutionalEncoder stack
+    (modules/encoder.py:100-221) -> (params, batch_stats) for this repo's
+    grouped group-major stack (models/encoder.py::_GroupedConvStack)."""
+    e_dim = hp.encoder_dimension
+    enc, enc_stats = {}, {}
+    if generated:
+        enc["generator_embedding"] = {
+            "embedding": t2j(sd[f"{prefix}._embedding.weight"])
+        }
+    stack, stack_stats = {}, {}
+    specs = (  # per-group (kernel, cin, cout) of each stack layer
+        [(1, hp.embedding_dimension, e_dim), (1, e_dim, e_dim)]
+        + [(3, e_dim, 2 * e_dim)] * 10
+        + [(1, e_dim, 2 * e_dim)] * 2
+    )
+    for i, (k, cin, cout) in enumerate(specs):
+        if generated:
+            blk, st = port_generated_block(
+                sd, f"{prefix}._layers.{i}.", cout=cout, cin=cin, k=k
+            )
+            wrap = "ConvBlockGenerated_0"
+        else:
+            blk, st = port_convblock(sd, f"{prefix}._layers.{i}.")
+            wrap = "ConvBlock_0"
+        if i >= 2:  # highway blocks wrap the inner conv block
+            blk = {wrap: blk}
+            st = {wrap: st}
+        stack[f"layer{i}"] = blk
+        stack_stats[f"layer{i}"] = st
+    enc["stack"] = stack
+    enc_stats["stack"] = stack_stats
+    return enc, enc_stats
+
+
+def port_cbhg(sd, hp, prefix="_postnet"):
+    """Reference PostnetCBHG (modules/cbhg.py:8-69) -> (params, batch_stats)
+    for this repo's PostnetCBHG (models/postnet.py)."""
+    params, stats = {}, {}
+    for i in range(hp.cbhg_bank_kernels):
+        blk, st = port_convblock(sd, f"{prefix}._bank.{i}.")
+        params[f"bank{i + 1}"] = blk
+        stats[f"bank{i + 1}"] = st
+    for name, idx in (("projection1", 2), ("projection2", 3)):
+        blk, st = port_convblock(sd, f"{prefix}._pool_and_project.{idx}.")
+        params[name] = blk
+        stats[name] = st
+    params["pre_highway"] = dense(sd, f"{prefix}._highway_layers.0")
+    for i in range(4):
+        hw = f"{prefix}._highway_layers.{2 + i}"
+        params[f"highway{i}"] = {
+            "linear": dense(sd, f"{hw}._linear.0"),
+            "gate": dense(sd, f"{hw}._gate.0"),
+        }
+    params.update(bigru(sd, f"{prefix}._gru"))
+    params["output"] = dense(sd, f"{prefix}._output_layer")
+    return params, stats
+
+
 def port_state_dict(sd: Mapping[str, Any], hp) -> Dict[str, dict]:
-    """Full reference Tacotron ``state_dict`` (generated or simple encoder,
-    conv postnet) -> ``{'params', 'batch_stats'}`` pytrees for this repo's
-    Tacotron (reference module tree: modules/tacotron2.py:222-312)."""
+    """Full reference Tacotron ``state_dict`` (all five encoder types, conv
+    or CBHG postnet) -> ``{'params', 'batch_stats'}`` pytrees for this
+    repo's Tacotron (reference module tree: modules/tacotron2.py:222-312,
+    encoder dispatch utils/__init__.py:29-37 via tacotron2.py:286-303)."""
     params = {"embedding": {"embedding": t2j(sd["_embedding.weight"])}}
     stats = {}
 
-    if hp.encoder_type == "generated":
-        enc = {
-            "generator_embedding": {
-                "embedding": t2j(sd["_encoder._embedding.weight"])
-            }
-        }
-        stack, stack_stats = {}, {}
-        e_dim = hp.encoder_dimension
-        specs = (  # per-group (kernel, cin, cout) of each stack layer
-            [(1, hp.embedding_dimension, e_dim), (1, e_dim, e_dim)]
-            + [(3, e_dim, 2 * e_dim)] * 10
-            + [(1, e_dim, 2 * e_dim)] * 2
+    if hp.encoder_type in ("generated", "convolutional"):
+        enc, enc_stats = port_convolutional_encoder(
+            sd, "_encoder", hp.encoder_type == "generated", hp
         )
-        for i, (k, cin, cout) in enumerate(specs):
-            blk, st = port_generated_block(
-                sd, f"_encoder._layers.{i}.", cout=cout, cin=cin, k=k
-            )
-            if i >= 2:  # highway blocks wrap the generated conv block
-                blk = {"ConvBlockGenerated_0": blk}
-                st = {"ConvBlockGenerated_0": st}
-            stack[f"layer{i}"] = blk
-            stack_stats[f"layer{i}"] = st
-        enc["stack"] = stack
-        params["encoder"] = enc
-        stats["encoder"] = {"stack": stack_stats}
-    elif hp.encoder_type == "simple":
-        enc, enc_stats = {}, {}
-        for i in range(hp.encoder_blocks):
-            blk, st = port_convblock(sd, f"_encoder._convs.{i}.")
-            enc[f"conv{i}"] = blk
-            enc_stats[f"conv{i}"] = st
-        enc.update(bilstm(sd, "_encoder._lstm"))
         params["encoder"] = enc
         stats["encoder"] = enc_stats
+    elif hp.encoder_type == "simple":
+        enc, enc_stats = port_simple_encoder(sd, "_encoder", hp)
+        params["encoder"] = enc
+        stats["encoder"] = enc_stats
+    elif hp.encoder_type == "shared":
+        enc, enc_stats = port_simple_encoder(sd, "_encoder._encoder", hp)
+        params["encoder"] = {
+            "language_embedding": {
+                "embedding": t2j(sd["_encoder._language_embedding.weight"])
+            },
+            "encoder": enc,
+        }
+        stats["encoder"] = {"encoder": enc_stats}
+    elif hp.encoder_type == "separate":
+        per_lang = [
+            port_simple_encoder(sd, f"_encoder._encoders.{l}", hp)
+            for l in range(hp.language_number)
+        ]
+        params["encoder"] = {
+            "encoders": _stack_trees([p for p, _ in per_lang])
+        }
+        stats["encoder"] = {
+            "encoders": _stack_trees([s for _, s in per_lang])
+        }
     else:
-        raise NotImplementedError(
-            f"checkpoint import supports encoder_type 'generated' and "
-            f"'simple'; got {hp.encoder_type!r}"
+        raise ValueError(
+            f"unknown reference encoder_type {hp.encoder_type!r} "
+            "(expected generated/convolutional/simple/shared/separate, "
+            "reference modules/tacotron2.py:286-303)"
         )
 
     if hp.reversal_classifier:
@@ -281,11 +391,14 @@ def port_state_dict(sd: Mapping[str, Any], hp) -> Dict[str, dict]:
 
     params["decoder"] = port_decoder(sd, hp)
 
-    postnet, postnet_stats = {}, {}
-    for i in range(hp.postnet_blocks):
-        blk, st = port_convblock(sd, f"_postnet._convs.{i}.")
-        postnet[f"conv{i}"] = blk
-        postnet_stats[f"conv{i}"] = st
+    if hp.predict_linear:  # CBHG linear-prediction postnet (tacotron2.py:284)
+        postnet, postnet_stats = port_cbhg(sd, hp)
+    else:
+        postnet, postnet_stats = {}, {}
+        for i in range(hp.postnet_blocks):
+            blk, st = port_convblock(sd, f"_postnet._convs.{i}.")
+            postnet[f"conv{i}"] = blk
+            postnet_stats[f"conv{i}"] = st
     params["postnet"] = postnet
     stats["postnet"] = postnet_stats
     return {"params": params, "batch_stats": stats}

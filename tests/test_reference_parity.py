@@ -497,7 +497,7 @@ def test_decoder_teacher_forced_parity(ref):
     report("decoder_align", got_align, want_align.numpy(), atol=2e-4, rtol=1e-3)
 
 
-def _full_forward_parity(ref, encoder_type, seed):
+def _full_forward_parity(ref, encoder_type, seed, extra=None):
     from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
 
     multi = encoder_type != "simple"
@@ -507,6 +507,7 @@ def _full_forward_parity(ref, encoder_type, seed):
             multi_speaker=False, multi_language=False,
             reversal_classifier=False, languages=["en"], language_number=1,
         )
+    overrides.update(extra or {})
     set_ref_hp(ref.Params, **overrides)
     hp = my_hp(**overrides)
 
@@ -526,7 +527,7 @@ def _full_forward_parity(ref, encoder_type, seed):
     text, lengths, target, target_lengths, speakers, languages = _batch(
         hp, b, t_len, frames
     )
-    if encoder_type == "generated":
+    if encoder_type in ("generated", "convolutional"):
         # Deliberate divergence: this framework's grouped encoders mask
         # activations beyond each sample's length after every block (bucket-
         # padding invariance, models/encoder.py:165-178), while the reference
@@ -537,16 +538,45 @@ def _full_forward_parity(ref, encoder_type, seed):
         lengths[:] = t_len
         text[:, :] = np.maximum(text, 1)
 
-    with torch.no_grad():
-        want = tmodel(
-            torch.tensor(text),
-            torch.tensor(lengths),
-            torch.tensor(target.transpose(0, 2, 1)),
-            torch.tensor(target_lengths),
-            torch.tensor(speakers) if multi else None,
-            torch.tensor(languages) if multi else None,
-            teacher_forcing_ratio=1.0,
-        )
+    # shared/separate encoders consume 3-D per-character language weights in
+    # the reference (MultiEncoder/ConditionalEncoder index dim 2,
+    # modules/encoder.py:67-97); 1-D index specs would crash there.  This
+    # framework normalizes 1-D/2-D/3-D specs itself (tacotron.py:45-59), so
+    # hand torch the equivalent one-hot and keep 1-D on our side.
+    torch_languages = None
+    if multi:
+        torch_languages = torch.tensor(languages)
+        if encoder_type in ("shared", "separate"):
+            torch_languages = torch.nn.functional.one_hot(
+                torch_languages[:, None].expand(-1, t_len),
+                hp.language_number,
+            ).float()
+
+    def run_torch(sl):
+        with torch.no_grad():
+            return tmodel(
+                torch.tensor(text[sl]),
+                torch.tensor(lengths[sl]),
+                torch.tensor(target.transpose(0, 2, 1)[sl]),
+                torch.tensor(target_lengths[sl]),
+                torch.tensor(speakers[sl]) if multi else None,
+                torch_languages[sl] if multi else None,
+                teacher_forcing_ratio=1.0,
+            )
+
+    if encoder_type == "separate":
+        # The reference MultiEncoder's mixing weights broadcast only at
+        # batch size 1 (modules/encoder.py:92-96 flattens to [B*T, 1]);
+        # any larger batch crashes.  Eval mode is sample-independent, so
+        # run the reference per sample and stack — this framework runs the
+        # whole batch at once.
+        per_sample = [run_torch(slice(i, i + 1)) for i in range(b)]
+        want = [
+            (torch.cat(outs) if outs[0] is not None else None)
+            for outs in zip(*per_sample)
+        ]
+    else:
+        want = run_torch(slice(None))
     (want_post, want_pre, want_stop, want_align,
      want_spk, want_enc) = want
 
@@ -592,6 +622,45 @@ def test_full_forward_simple_encoder_parity(ref):
     """Eval-mode forward of the monolingual model (conv+BiLSTM encoder),
     covering packed-BiLSTM equivalence (reference modules/encoder.py:35-45)."""
     _full_forward_parity(ref, "simple", seed=9)
+
+
+def test_full_forward_shared_encoder_parity(ref):
+    """Eval-mode forward with the ConditionalEncoder: language embedding
+    concatenated per character, then the vanilla encoder (reference
+    modules/encoder.py:48-71)."""
+    _full_forward_parity(ref, "shared", seed=10)
+
+
+def test_full_forward_separate_encoder_parity(ref):
+    """Eval-mode forward with the MultiEncoder: one vanilla encoder per
+    language mixed by per-character weights (reference
+    modules/encoder.py:74-97; ours is a single vmapped encoder)."""
+    _full_forward_parity(ref, "separate", seed=11)
+
+
+def test_full_forward_convolutional_encoder_parity(ref):
+    """Eval-mode forward with the plain grouped ConvolutionalEncoder
+    (reference modules/encoder.py:100-156)."""
+    _full_forward_parity(ref, "convolutional", seed=12)
+
+
+def test_full_forward_cbhg_postnet_parity(ref):
+    """Eval-mode forward with predict_linear=True: the CBHG postnet maps
+    mels to linear spectrogram frames (reference modules/cbhg.py:8-69,
+    factory tacotron2.py:335-345)."""
+    _full_forward_parity(
+        ref, "simple", seed=13,
+        extra=dict(
+            predict_linear=True,
+            cbhg_bank_kernels=4,
+            cbhg_bank_dimension=8,
+            cbhg_projection_dimension=8,
+            cbhg_projection_kernel_size=3,
+            cbhg_highway_dimension=8,
+            cbhg_rnn_dim=8,
+            cbhg_dropout=0.0,
+        ),
+    )
 
 
 def test_tacotron_loss_parity(ref):
@@ -657,20 +726,31 @@ def test_tacotron_loss_parity(ref):
     report("loss_total", got_total, float(want_total), atol=1e-5, rtol=1e-5)
 
 
-def test_checkpoint_import_roundtrip(ref, tmp_path):
+@pytest.mark.parametrize("encoder_type,extra", [
+    ("generated", {}),
+    ("convolutional", dict(
+        predict_linear=True,
+        cbhg_bank_kernels=4, cbhg_bank_dimension=8,
+        cbhg_projection_dimension=8, cbhg_projection_kernel_size=3,
+        cbhg_highway_dimension=8, cbhg_rnn_dim=8, cbhg_dropout=0.0,
+    )),
+])
+def test_checkpoint_import_roundtrip(ref, tmp_path, encoder_type, extra):
     """User-facing importer CLI: a reference-format torch checkpoint file
     (epoch/model/optimizer/scheduler/parameters/criterion, train.py:302-308,
     with DataParallel 'module.' prefixes) converts to this framework's
     checkpoint, and the restored Synthesizer model reproduces the torch
-    model's eval-mode teacher-forced forward at float32 epsilon."""
+    model's eval-mode teacher-forced forward at float32 epsilon.  The second
+    case covers the grouped convolutional encoder + CBHG linear postnet
+    (predict_linear checkpoints, tacotron2.py:284)."""
     from multilingual_text_to_speech_tpu.cli.import_reference_checkpoint import (
         main as import_main,
     )
     from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
     from multilingual_text_to_speech_tpu.synthesis import Synthesizer
 
-    set_ref_hp(ref.Params)
-    hp = my_hp()
+    set_ref_hp(ref.Params, encoder_type=encoder_type, **extra)
+    hp = my_hp(encoder_type=encoder_type, **extra)
     torch.manual_seed(11)
     tmodel = ref.tacotron2.Tacotron().eval()
     randomize_running_stats(tmodel)
@@ -692,7 +772,7 @@ def test_checkpoint_import_roundtrip(ref, tmp_path):
     assert import_main([src, "-o", out]) == 0
 
     synth = Synthesizer.from_checkpoint(out)
-    assert synth.hp.encoder_type == "generated"
+    assert synth.hp.encoder_type == encoder_type
     assert synth.hp.languages == hp.languages
 
     # criterion state must carry the reference guided-attention schedule
