@@ -35,7 +35,8 @@ def get_loader_by_name(name: str):
 
 def _assert_audio(root: str, rel: str) -> None:
     full = os.path.join(root, rel)
-    assert os.path.isfile(full), f"Referenced audio file {full} does not exist!"
+    assert os.path.isfile(full), (
+        f"metafile points at a missing audio file: {full}")
 
 
 def vctk(root_path: str, meta_files: Optional[list] = None) -> List[Row]:

@@ -38,6 +38,10 @@ from multilingual_text_to_speech_tpu.models.rnn import (
 
 Carry = Dict[str, Any]
 
+# text buckets whose T-blocked-fold padding has been logged (trace-time,
+# once per distinct bucket length per process)
+_LOGGED_PAD_BUCKETS: set = set()
+
 
 class Prenet(nn.Module):
     """Decoder pre-net: linear+ReLU stack whose dropout stays active at
@@ -283,6 +287,15 @@ class Decoder(nn.Module):
                 t, self.hp_model.attention_type)
             if t_fused != t:
                 pad = t_fused - t
+                if t not in _LOGGED_PAD_BUCKETS:  # once per bucket shape
+                    _LOGGED_PAD_BUCKETS.add(t)
+                    import logging
+
+                    logging.info(
+                        "fused train decoder: padding %d-symbol bucket to "
+                        "%d for the T-blocked fold (+%.0f%% attention "
+                        "compute on this bucket)", t, t_fused,
+                        100.0 * pad / t)
                 memory = jnp.pad(memory, ((0, 0), (0, pad), (0, 0)))
                 memory_transform = jnp.pad(
                     memory_transform, ((0, 0), (0, pad), (0, 0)))

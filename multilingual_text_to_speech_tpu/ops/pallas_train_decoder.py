@@ -1007,6 +1007,20 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         fixed += 4 * (bb * at + cfg.at_b + cfg.hidden * a)     # f32 accs
         if cfg.att_kind == "ls":
             fixed += 4 * cfg.n_blocks * cfg.w_pad * cfg.at_b   # dband acc
+    if cfg.train and backward and esize == 4:
+        # Mosaic register-allocator SPILL SLOTS are real VMEM the window
+        # model cannot see.  The 2026-08 v5e OOM dump for the f32 ls
+        # backward at flagship dims (b=20, T=128, prenet 3) showed 22.9M
+        # of spill slots next to 106.4M of windows — 1.3M over the 128M
+        # chip limit at the model's S=8 pick.  The step loop is rolled
+        # (fori_loop), so spills track the step body's f32 live set, not
+        # S: charge 512 B x batch-block x hidden, which routes that dump's
+        # case to S=4 (measured 121M on-device, fits).  bf16 charges
+        # NOTHING: the 2026-08-18 hw_probe_train_vmem.py sweep measured
+        # bf16 ls backward fits at (T=256, b=50, S=8) and (T=512, b=16,
+        # S=4) exactly where the uncharged model routes them — a bf16
+        # charge as small as 4M would wrongly zero both.
+        fixed += 512 * bb * cfg.hidden
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
         # residual reads: h_att, c_att, c_gen, cum, prenet outs, acts x2

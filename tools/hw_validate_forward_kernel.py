@@ -11,10 +11,14 @@ Run:  timeout 1200 python tools/hw_validate_forward_kernel.py
 import glob
 import gzip
 import json
+import os
 import sys
 import tempfile
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def device_us(run_fn):
