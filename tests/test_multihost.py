@@ -19,6 +19,8 @@ import sys
 import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+HIER_WORKER = os.path.join(os.path.dirname(__file__),
+                           "multihost_hier_worker.py")
 
 
 def _free_port() -> int:
@@ -67,3 +69,37 @@ def test_two_process_data_parallel_training(tmp_path):
         if json.loads(l)["kind"] == "eval"
     ]
     assert evals and evals[-1]["audio_generated_samples"] > 0
+
+
+def test_hierarchical_mesh_fused_decoder_grad_parity(tmp_path):
+    """2 processes x 4 devices each: a (data=4, model=2) mesh spanning the
+    intra-process (ICI analog) AND inter-process (DCN analog) boundaries
+    runs the fused Pallas train decoder (interpret mode) through shard_map;
+    each worker asserts gradient parity vs single-local-device autodiff —
+    the configuration a real multi-chip pod uses."""
+    coordinator = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_NUM_PROCESSES", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, HIER_WORKER, str(pid), "2", coordinator],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=570)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert {o["pid"] for o in outs} == {0, 1}
+    for o in outs:
+        assert o["devices"] == 8
+        assert o["local_devices"] == 4
+        assert o["mesh"] == {"data": 4, "model": 2}
+        assert o["grad_worst_rel"] < 1e-4
