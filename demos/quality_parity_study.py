@@ -105,36 +105,43 @@ def build_hp(attention_type="location_sensitive"):
     return hp
 
 
-def build_dataset(n_items=64, seed=0):
-    """Copy-task utterances: (ids [L], mel [F, M]) with shared patterns."""
+def build_dataset(n_items=64, seed=0, *, n_symbols=N_SYMBOLS,
+                  frames_per_symbol=FRAMES_PER_SYMBOL, num_mels=NUM_MELS,
+                  t_pad=T_PAD):
+    """Copy-task utterances: (ids [L], mel [F, M]) with shared patterns.
+
+    Keyword arguments let the flagship-dims on-device study
+    (demos/flagship_quality_study.py) scale the task up without forking
+    the protocol."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    patterns = rng.randn(N_SYMBOLS, FRAMES_PER_SYMBOL, NUM_MELS).astype(
+    patterns = rng.randn(n_symbols, frames_per_symbol, num_mels).astype(
         np.float32)
     items = []
     for _ in range(n_items):
-        length = rng.randint(8, T_PAD + 1)
-        ids = rng.randint(3, 3 + N_SYMBOLS, length)  # skip PAD/EOS/UNK rows
+        length = rng.randint(t_pad // 2, t_pad + 1)
+        ids = rng.randint(3, 3 + n_symbols, length)  # skip PAD/EOS/UNK rows
         mel = np.concatenate([patterns[s - 3] for s in ids], axis=0)
         items.append((ids, mel))
     return items
 
 
-def make_batches(items, hp, seed=1):
+def make_batches(items, hp, seed=1, *, batch=BATCH, t_pad=T_PAD, f_pad=F_PAD,
+                 num_mels=NUM_MELS):
     """Static-shape padded batches shared verbatim by both frameworks."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     order = rng.permutation(len(items))
     batches = []
-    for lo in range(0, len(items) - BATCH + 1, BATCH):
-        sel = order[lo:lo + BATCH]
-        text = np.zeros((BATCH, T_PAD), np.int64)
-        tlen = np.zeros((BATCH,), np.int64)
-        target = np.zeros((BATCH, F_PAD, NUM_MELS), np.float32)
-        flen = np.zeros((BATCH,), np.int64)
-        stop = np.ones((BATCH, F_PAD), np.float32)
+    for lo in range(0, len(items) - batch + 1, batch):
+        sel = order[lo:lo + batch]
+        text = np.zeros((batch, t_pad), np.int64)
+        tlen = np.zeros((batch,), np.int64)
+        target = np.zeros((batch, f_pad, num_mels), np.float32)
+        flen = np.zeros((batch,), np.int64)
+        stop = np.ones((batch, f_pad), np.float32)
         for j, idx in enumerate(sel):
             ids, mel = items[idx]
             text[j, :len(ids)] = ids
@@ -167,7 +174,11 @@ def setup_reference(hp):
     return tacotron2, Params
 
 
-def train_torch(hp, batches, steps, log_every, seed=7):
+def train_torch(hp, batches, steps, log_every, seed=7, max_seconds=None):
+    """Train the live torch reference.  ``max_seconds`` bounds wall clock
+    (flagship dims on CPU are slow): training stops at the first logging
+    point past the budget, and the returned curve's last step records how
+    far the reference actually got."""
     import copy
 
     import torch
@@ -207,7 +218,11 @@ def train_torch(hp, batches, steps, log_every, seed=7):
         if s % log_every == 0 or s == steps - 1:
             curve.append((s, float(total),
                           float(parts["mel_pre"] + parts["mel_pos"])))
-    print(f"  torch: {steps} steps in {time.time() - t0:.0f}s")
+            if max_seconds is not None and time.time() - t0 > max_seconds:
+                print(f"  torch: wall budget {max_seconds:.0f}s hit at "
+                      f"step {s}", flush=True)
+                break
+    print(f"  torch: {curve[-1][0] + 1} steps in {time.time() - t0:.0f}s")
     return model, init_state, curve
 
 

@@ -1015,12 +1015,18 @@ def _vmem_chunk(cfg: _Cfg, b: int, cap: int, backward: bool,
         # chip limit at the model's S=8 pick.  The step loop is rolled
         # (fori_loop), so spills track the step body's f32 live set, not
         # S: charge 512 B x batch-block x hidden, which routes that dump's
-        # case to S=4 (measured 121M on-device, fits).  bf16 charges
-        # NOTHING: the 2026-08-18 hw_probe_train_vmem.py sweep measured
-        # bf16 ls backward fits at (T=256, b=50, S=8) and (T=512, b=16,
-        # S=4) exactly where the uncharged model routes them — a bf16
-        # charge as small as 4M would wrongly zero both.
-        fixed += 512 * bb * cfg.hidden
+        # case to S=4 (measured 121M on-device, fits).  The T-blocked ls
+        # fold multiplies that live set per block: the 2026-08-18 v5e dump
+        # for (b=20, T=192, 3 blocks, prenet 2) showed 41.3M of spills and
+        # 144.6M total at S=4 — scale the charge by n_blocks, which
+        # correctly zeroes that shape (no S fits; it must take the XLA
+        # scan).  bf16 charges NOTHING: the 2026-08-18
+        # hw_probe_train_vmem.py sweep measured bf16 ls backward fits at
+        # (T=256, b=50, S=8) and (T=512 = 8 blocks, b=16, S=4) exactly
+        # where the uncharged model routes them — a bf16 charge as small
+        # as 4M would wrongly zero both.
+        fixed += 512 * bb * cfg.hidden * (
+            cfg.n_blocks if cfg.att_kind == "ls" else 1)
     # per-step stream bytes (residuals in/out + grads out + cotangents)
     if backward:
         # residual reads: h_att, c_att, c_gen, cum, prenet outs, acts x2

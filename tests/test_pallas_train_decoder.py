@@ -232,6 +232,14 @@ def test_blocked_vmem_ceiling():
     assert pallas_train_decoder.fits_vmem(
         hp, 16, 512, 528, a, dtype=jnp.bfloat16, train=True)
     assert pallas_train_decoder.supports_shapes(16, 512)
+    # f32 + blocked fold multiplies Mosaic spill slots per block: the
+    # 2026-08-18 v5e dump (tools/hw_results/train_forward_family_*.log)
+    # measured 144.6M/128M at (b=20, T=192, 3 blocks) — the model must
+    # route that shape to the XLA scan, while b=8 still fits on-chip
+    assert not pallas_train_decoder.fits_vmem(
+        hp, 20, 192, 292, a, dtype=jnp.float32, train=True)
+    assert pallas_train_decoder.fits_vmem(
+        hp, 8, 192, 292, a, dtype=jnp.float32, train=True)
 
 
 # ---------------------------------------------------------------------------
