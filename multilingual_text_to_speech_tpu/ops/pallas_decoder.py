@@ -395,11 +395,20 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
     n_band_refs = n_blocks if att_kind == "ls" else 1
     fwd_trans = att_kind == "fwd_trans"
 
+    # Mosaic rejects bf16 (and int8) dot operands carrying an fp32
+    # contract precision — the ambient jax_default_matmul_precision leaks
+    # into kernel dot_generals, so pin non-f32 dots to DEFAULT (native MXU
+    # passes; accumulation dtype still set by preferred_element_type).
+    # Mirrors ops/pallas_train_decoder._mxu_precision.
+    kern_precision = (jax.lax.Precision.DEFAULT
+                      if dtype == jnp.bfloat16 else None)
+
     def matmul(x, w_ref, prefer=jnp.float32):
         return jax.lax.dot_general(
             x.astype(dtype), w_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=prefer,
+            precision=kern_precision,
         )
 
     def kernel(*refs):
@@ -497,7 +506,8 @@ def _build_kernel(steps, t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
             g = jax.lax.dot_general(
                 q_ref[:], w_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
+                preferred_element_type=jnp.int32,
+                precision=jax.lax.Precision.DEFAULT)
             return g.astype(jnp.float32) * rs * ws_ref[:] + b_ref[:]
 
         def prenet(x, step):

@@ -227,6 +227,18 @@ def _lstm_forward(gates, c_prev, hidden):
     return h_new, c_new, (i, f, g, o)
 
 
+def _mxu_precision(dtype):
+    """Explicit contract precision for in-kernel dots.
+
+    Mosaic rejects bf16 matmul operands carrying an fp32 contract
+    precision ("Bad lhs type", measured on-chip 2026-08-18): the ambient
+    ``jax_default_matmul_precision`` leaks into kernel dot_generals, so a
+    user setting that global to "float32" would break every bf16 kernel.
+    Pin bf16 to DEFAULT (native MXU passes; f32 accumulation still comes
+    from ``preferred_element_type``) and let f32 follow the ambient."""
+    return jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else None
+
+
 def _matmul(x, w_ref, dtype, contract=(1, 0)):
     """2-D dot in the compute dtype with f32 accumulation.
 
@@ -236,6 +248,7 @@ def _matmul(x, w_ref, dtype, contract=(1, 0)):
         x.astype(dtype), w_ref[:],
         dimension_numbers=(((contract[0],), (contract[1],)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_mxu_precision(dtype),
     )
 
 
@@ -459,7 +472,8 @@ def _build_fwd_kernel(cfg: _Cfg, steps: int):
                     loc_j = jax.lax.dot_general(
                         win.astype(d), band_j,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(d)
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(d)).astype(d)
                     tz_j = jnp.tanh(
                         loc_j + qt
                         + mt_ref[:, jb * cfg.at_b:(jb + 1) * cfg.at_b])
@@ -721,7 +735,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
             dproto = jax.lax.dot_general(
                 dframe_tot.astype(d), head_w[:, :mmel],
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(d))
             dproto = dproto + (dstop_ref[s, :][:, None]
                                * head_w[:, mmel][None, :].astype(jnp.float32))
             dh_gen_tot = o_dh_gen_ref[:] + dproto[:, :hidden]
@@ -793,7 +808,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                     loc_j = jax.lax.dot_general(
                         win.astype(d), band_j,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).astype(d)
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(d)).astype(d)
                     tz_j = jnp.tanh(loc_j + qt + mt_ref[:, lo_l:hi_l])
                     de_j = de[:, jb * cfg.t_block:(jb + 1) * cfg.t_block]
                     de_t_j = jnp.concatenate([de_j] * cfg.att_dim, axis=1)
@@ -804,7 +820,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                         jax.lax.dot_general(
                             win.astype(d), dz_j.astype(d),
                             dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+                            preferred_element_type=jnp.float32,
+                            precision=_mxu_precision(d)))
                     dvt_acc_ref[:] += jnp.sum(
                         tz_j.astype(jnp.float32) * de_t_j, axis=0,
                         keepdims=True)
@@ -816,7 +833,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                     dwin_j = jax.lax.dot_general(
                         dz_j.astype(d), band_j,
                         dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)   # [B, W]
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(d))          # [B, W]
                     before = jb * cfg.t_block
                     after = dcum_pad.shape[1] - before - cfg.w_pad
                     dcum_pad = dcum_pad + _cat_nonempty([
@@ -827,7 +845,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                 dwq_acc_ref[:] += jax.lax.dot_general(
                     h_att_s.astype(d), dq.astype(d),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(d))
                 dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d,
                                                   contract=(1, 1))
             elif cfg.att_kind == "ls":
@@ -886,7 +905,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                     dband_acc_ref[:] += jax.lax.dot_general(
                         cum_s.astype(d), dz.astype(d),
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_mxu_precision(d))
                 dvt_acc_ref[:] += jnp.sum(
                     tz.astype(jnp.float32) * de_t, axis=0, keepdims=True)
                 # dq[b, a] = sum over the a-th T-lane chunk of dz
@@ -897,7 +917,8 @@ def _build_bwd_kernel(cfg: _Cfg, steps: int):
                 dwq_acc_ref[:] += jax.lax.dot_general(
                     h_att_s.astype(d), dq.astype(d),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu_precision(d))
                 dh_att_tot = dh_att_tot + _matmul(dq, wq_ref, d,
                                                   contract=(1, 1))
                 if cfg.att_kind == "ls":
@@ -1407,7 +1428,8 @@ def make_core(cfg: _Cfg, interpret: bool = False):
             return jax.lax.dot_general(
                 flat(cat), flat(dg),
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=_mxu_precision(d))
 
         cat_att = _pad_cat(
             [r_pre[-1], shift1(r_ctx, ctx0), shift1(r_h_att, h0)],
