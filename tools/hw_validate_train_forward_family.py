@@ -90,8 +90,16 @@ def main():
     if cpu_smoke:
         batch, frames = 5, 16
         cases = [(a, n, 24, f32, 1e-4, 1e-3, False) for a, n, *_ in cases[:2]]
-    for (att_type, n_prenet, text_len, case_dtype, loss_tol, grad_tol,
-         expect_fallback) in cases:
+    # --cases 4,5 reruns a subset (indices into the list above) without
+    # paying the Mosaic compiles of already-validated cases
+    only = None
+    if "--cases" in sys.argv:
+        only = {int(i) for i in
+                sys.argv[sys.argv.index("--cases") + 1].split(",")}
+    for case_i, (att_type, n_prenet, text_len, case_dtype, loss_tol,
+                 grad_tol, expect_fallback) in enumerate(cases):
+        if only is not None and case_i not in only:
+            continue
         hp = _flagship_hp(tiny=cpu_smoke)
         hp.attention_type = att_type
         hp.prenet_layers = n_prenet
@@ -100,7 +108,8 @@ def main():
         hp.zoneout_cell = 0.0
         hp.dropout_hidden = 0.0
         assert pallas_train_decoder.supports(hp)
-        model = Tacotron(hp, train=True, dtype=case_dtype)
+        # per-case seed so --cases subsets see the same data as full runs
+        rng_np = np.random.RandomState(100 + case_i)
 
         text = jnp.asarray(rng_np.randint(
             3, hp.total_symbols(), (batch, text_len)), jnp.int32)
@@ -113,25 +122,32 @@ def main():
         languages = jnp.asarray(
             np.arange(batch) % len(hp.languages), jnp.int32)
         key = jax.random.PRNGKey(0)
-        variables = jax.jit(model.init)(
-            key, text, lengths, target, tlen, speakers, languages,
-            1.0, key)
-        params = variables["params"]
-        rest = {k: v for k, v in variables.items() if k != "params"}
 
-        def loss_fn(p):
-            out, _ = model.apply(
-                {"params": p, **rest}, text, lengths, target, tlen,
-                speakers, languages, 1.0, key, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(key, 1)})
-            return (jnp.mean((out["pre_prediction"] - target) ** 2)
-                    + 0.1 * jnp.mean(out["stop_token"] ** 2)
-                    + 0.05 * jnp.mean(out["alignment"] ** 2))
-
-        results = {}
         fused_mode = "interpret" if cpu_smoke else ""
-        for mode in (fused_mode, "off"):  # fused kernels, then XLA scan
+
+        def run(mode, dtype):
+            """loss+grads+device us for one (decoder path, compute dtype).
+
+            Builds its own model/params: initializer draws are dtype-
+            independent (param dtype stays f32), so every run starts from
+            identical weights."""
             os.environ["MTTS_PALLAS_TRAIN_DECODER"] = mode
+            model = Tacotron(hp, train=True, dtype=dtype)
+            variables = jax.jit(model.init)(
+                key, text, lengths, target, tlen, speakers, languages,
+                1.0, key)
+            params = variables["params"]
+            rest = {k: v for k, v in variables.items() if k != "params"}
+
+            def loss_fn(p):
+                out, _ = model.apply(
+                    {"params": p, **rest}, text, lengths, target, tlen,
+                    speakers, languages, 1.0, key, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.fold_in(key, 1)})
+                return (jnp.mean((out["pre_prediction"] - target) ** 2)
+                        + 0.1 * jnp.mean(out["stop_token"] ** 2)
+                        + 0.05 * jnp.mean(out["alignment"] ** 2))
+
             # count factory invocations at trace time to prove the fused
             # path engaged (a silent XLA fallback would make the parity
             # check vacuous)
@@ -162,34 +178,61 @@ def main():
             if not cpu_smoke:
                 us = device_us(
                     lambda s=step: jax.block_until_ready(s(params)))
-            results["off" if mode == "off" else "fused"] = (loss, grads, us)
+            return loss, grads, us
 
-        lf, gf, uf = results["fused"]
-        lx, gx, ux = results["off"]
+        lf, gf, uf = run(fused_mode, case_dtype)
+        lx, gx, ux = run("off", case_dtype)
         assert np.isfinite(lf), lf
+        name = jnp.dtype(case_dtype).name
         if expect_fallback:
-            print(f"{att_type} prenet={n_prenet} T={text_len} "
-                  f"{jnp.dtype(case_dtype).name}: correctly routed to the "
-                  f"XLA scan (no-fit), loss={lf:.6f} "
-                  f"({uf / 1e3:.1f} ms/step)", flush=True)
+            print(f"{att_type} prenet={n_prenet} T={text_len} {name}: "
+                  f"correctly routed to the XLA scan (no-fit), "
+                  f"loss={lf:.6f} ({uf / 1e3:.1f} ms/step)", flush=True)
             continue
-        worst = 0.0
-        worst_k = None
-        for (pth, a), (_, b) in zip(
-                jax.tree_util.tree_leaves_with_path(gf),
-                jax.tree_util.tree_leaves_with_path(gx)):
-            a, b = np.asarray(a), np.asarray(b)
-            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
-            if rel > worst:
-                worst, worst_k = rel, jax.tree_util.keystr(pth)
-        print(f"{att_type} prenet={n_prenet} T={text_len} "
-              f"{jnp.dtype(case_dtype).name}: "
-              f"loss fused={lf:.6f} xla={lx:.6f} "
-              f"grad worst-rel={worst:.2e} ({worst_k})", flush=True)
+        assert abs(lf - lx) / max(abs(lx), 1e-9) < loss_tol, (lf, lx)
+        print(f"{att_type} prenet={n_prenet} T={text_len} {name}: "
+              f"loss fused={lf:.6f} xla={lx:.6f}", flush=True)
         print(f"  fused {uf / 1e3:.1f} ms/step vs XLA {ux / 1e3:.1f} "
               f"({ux / max(uf, 1):.2f}x)", flush=True)
-        assert abs(lf - lx) / max(abs(lx), 1e-9) < loss_tol, (lf, lx)
-        assert worst < grad_tol, (worst, worst_k)
+        if case_dtype == f32:
+            # same dtype, same math: direct leafwise comparison
+            worst, worst_k = 0.0, None
+            for (pth, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(gf),
+                    jax.tree_util.tree_leaves_with_path(gx)):
+                a, b = np.asarray(a), np.asarray(b)
+                rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-8)
+                if rel > worst:
+                    worst, worst_k = rel, jax.tree_util.keystr(pth)
+            print(f"  grad worst-rel={worst:.2e} ({worst_k})", flush=True)
+            assert worst < grad_tol, (worst, worst_k)
+        else:
+            # bf16: the XLA scan is NOT ground truth — both paths carry
+            # bf16 scatter from different (equally valid) accumulation
+            # orders, which deep encoder backprop amplifies to ~1e-1 on
+            # small-magnitude leaves (measured 2026-08-19, see
+            # tools/hw_results/diag_bf16_t192_*.log). Judge each bf16
+            # path by its distance to an f32 XLA truth run instead: the
+            # fused kernel must sit no farther from truth than the XLA
+            # bf16 scan does (2x + floor headroom per leaf).
+            _, gt, _ = run("off", f32)
+            errs_f, errs_x = [], []
+            for (pth, t), (_, a), (_, b) in zip(
+                    jax.tree_util.tree_leaves_with_path(gt),
+                    jax.tree_util.tree_leaves_with_path(gf),
+                    jax.tree_util.tree_leaves_with_path(gx)):
+                t = np.asarray(t, np.float64)
+                den = np.abs(t).max() + 1e-12
+                e_f = np.abs(np.asarray(a, np.float64) - t).max() / den
+                e_x = np.abs(np.asarray(b, np.float64) - t).max() / den
+                errs_f.append(e_f)
+                errs_x.append(e_x)
+                assert e_f <= 2.0 * e_x + 5e-3, (
+                    jax.tree_util.keystr(pth), e_f, e_x)
+            print(f"  err-to-f32-truth: fused med {np.median(errs_f):.2e} "
+                  f"max {max(errs_f):.2e}  |  xla-bf16 med "
+                  f"{np.median(errs_x):.2e} max {max(errs_x):.2e}",
+                  flush=True)
 
     print("TRAIN FORWARD-FAMILY HW VALIDATION OK", flush=True)
 
