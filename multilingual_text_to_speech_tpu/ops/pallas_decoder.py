@@ -840,6 +840,19 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         + 4 * chunk * (_r128(mmel) + 1)             # spec/stop outputs
         + 4 * (4 * hidden + mem_dim + t_len + mmel + t_len)  # carries, mask
         + (4 * 2 * _LANES if att_kind == "fwd_trans" else 0)  # t_prob i/o
+        # Mosaic register-allocator SPILL SLOTS: real VMEM the window
+        # model cannot see (same lesson as the train kernels' model).
+        # The rolled step loop keeps the [BB, A*Tb] energy row plus a
+        # handful of f32 gate rows live across the body; the 2026-08-19
+        # v5e OOM dump at (B=240, T=256, bf16, int8 gates) measured
+        # 21.24M of spill = 88.5 KB/row with at_b = 32768 — the model's
+        # 110M budget left only 18M of headroom and Mosaic busted the
+        # 128M chip by 6.38M (log: tools/hw_results/
+        # decode_crossover_2026-08-19.log). esize*at_b + 24K reproduces
+        # that dump (90.1 KB/row) and keeps every measured-good config:
+        # T=128 stays a single 240-row block (cap 352), T=384/512
+        # T-blocked picks are unchanged at bench batches.
+        + esize * at_b + 24 * 1024
     )
     cap = int((budget - fixed) // max(per_row, 1))
     if cap < 8:

@@ -559,6 +559,20 @@ def test_vmem_fit_gate():
     assert ptd.fits_vmem(hp, 50, 192, 512, 128, dtype=jnp.float32,
                          train=False)
 
+    # forward family: single fold fits at the full 512-symbol serving
+    # bound, flagship bf16 batch 50 — its operands are linear in T (no
+    # [A*T] band), so no T-blocked fold is needed for this family.
+    # Hardware-confirmed 2026-08-19 (tools/hw_results/
+    # train_forward_family_2026-08-19b.log, Mosaic compile at T=512).
+    for att in ("forward", "forward_transition_agent"):
+        hp_f = HParams()
+        hp_f.decoder_dimension = 1024
+        hp_f.num_mels = 80
+        hp_f.prenet_dimension = 256
+        hp_f.attention_type = att
+        assert ptd.padded_t_len(512, att) == 512  # no pad, single fold
+        assert ptd.fits_vmem(hp_f, 50, 512, 512, 128, dtype=jnp.bfloat16)
+
 
 @pytest.mark.parametrize("mesh_shape,batch,scheme", [
     ((4, 1), 8, "flatten"),       # pure DP: 2 samples per shard
