@@ -562,8 +562,10 @@ def test_vmem_fit_gate():
     # forward family: single fold fits at the full 512-symbol serving
     # bound, flagship bf16 batch 50 — its operands are linear in T (no
     # [A*T] band), so no T-blocked fold is needed for this family.
-    # Hardware-confirmed 2026-08-19 (tools/hw_results/
-    # train_forward_family_2026-08-19b.log, Mosaic compile at T=512).
+    # Hardware-confirmed 2026-08-19: Mosaic compile + loss parity + exact
+    # f32 grads at T=512 (tools/hw_results/
+    # train_forward_family_2026-08-19c.log); the bf16 T=512 grad story is
+    # the boundary diagnostic in hw_results/diag_bf16_t512_2026-08-19.log.
     for att in ("forward", "forward_transition_agent"):
         hp_f = HParams()
         hp_f.decoder_dimension = 1024

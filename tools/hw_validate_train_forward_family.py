@@ -224,14 +224,26 @@ def main():
         else:
             # bf16: the XLA scan is NOT ground truth — both paths carry
             # bf16 scatter from different (equally valid) accumulation
-            # orders, which deep encoder backprop amplifies to ~1e-1 on
-            # small-magnitude leaves (measured 2026-08-19, see
-            # tools/hw_results/diag_bf16_t192_*.log). Judge each bf16
-            # path by its distance to an f32 XLA truth run instead: the
-            # fused kernel must sit no farther from truth than the XLA
-            # bf16 scan does (2x + floor headroom per leaf).
+            # orders. Judge each bf16 path by its distance to an f32 XLA
+            # truth run, and gate PER-LEAF only on the leaves the kernel
+            # computes directly (decoder/attention/prenet params).
+            #
+            # Encoder-side leaves (encoder, embedding) receive their
+            # grads through the d_encoded cotangent via an XLA encoder
+            # backward that is IDENTICAL in both paths. The boundary
+            # decomposition in tools/hw_diag_bf16_t512.py (log:
+            # hw_results/diag_bf16_t512_2026-08-19.log) shows the fused
+            # cotangent sits CLOSER to f32 truth than the XLA-bf16
+            # scan's (max 2.07e-2 vs 3.33e-2, ratio 0.62), yet pushing
+            # each cotangent through the SAME exact f32 encoder VJP
+            # scatters per-leaf errors to 4-9e-2 in path-dependent
+            # leaves (bias/bottleneck grads sum ~B*T near-cancelling
+            # terms, so max|truth| denominators are small). A per-leaf
+            # ratio there measures where the rounding landed, not kernel
+            # quality — so encoder-side leaves are gated in AGGREGATE
+            # (median err-to-truth) and reported informationally.
             _, gt, _ = run("off", f32)
-            errs_f, errs_x = [], []
+            errs_f, errs_x, enc_f, enc_x = [], [], [], []
             for (pth, t), (_, a), (_, b) in zip(
                     jax.tree_util.tree_leaves_with_path(gt),
                     jax.tree_util.tree_leaves_with_path(gf),
@@ -240,13 +252,24 @@ def main():
                 den = np.abs(t).max() + 1e-12
                 e_f = np.abs(np.asarray(a, np.float64) - t).max() / den
                 e_x = np.abs(np.asarray(b, np.float64) - t).max() / den
+                k = jax.tree_util.keystr(pth)
+                if "encoder" in k or "embedding" in k:
+                    enc_f.append(e_f)
+                    enc_x.append(e_x)
+                    continue
                 errs_f.append(e_f)
                 errs_x.append(e_x)
-                assert e_f <= 2.0 * e_x + 5e-3, (
-                    jax.tree_util.keystr(pth), e_f, e_x)
-            print(f"  err-to-f32-truth: fused med {np.median(errs_f):.2e} "
-                  f"max {max(errs_f):.2e}  |  xla-bf16 med "
-                  f"{np.median(errs_x):.2e} max {max(errs_x):.2e}",
+                assert e_f <= 2.0 * e_x + 5e-3, (k, e_f, e_x)
+            assert np.median(enc_f) <= 2.0 * np.median(enc_x) + 1e-3, (
+                "encoder aggregate", np.median(enc_f), np.median(enc_x))
+            print(f"  err-to-f32-truth, kernel-direct leaves: fused med "
+                  f"{np.median(errs_f):.2e} max {max(errs_f):.2e}  |  "
+                  f"xla-bf16 med {np.median(errs_x):.2e} max "
+                  f"{max(errs_x):.2e}", flush=True)
+            print(f"  err-to-f32-truth, encoder-side leaves (via shared "
+                  f"XLA encoder bwd): fused med {np.median(enc_f):.2e} "
+                  f"max {max(enc_f):.2e}  |  xla-bf16 med "
+                  f"{np.median(enc_x):.2e} max {max(enc_x):.2e}",
                   flush=True)
 
     print("TRAIN FORWARD-FAMILY HW VALIDATION OK", flush=True)
