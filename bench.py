@@ -42,11 +42,10 @@ def main(int8: bool = True):
     # throughput-serving chunk size: fewer dispatches per utterance
     # (interactive synthesis defaults to 64 for finer early-exit)
     hp.decode_chunk_frames = 128
-    # W8A8 int8 LSTM-gate matmuls in the fused serving decoder: the
-    # throughput-serving configuration.  Lossy but quantified well inside
-    # BASELINE.md's own 0.1 dB MCD criterion (demos/int8_quality_check.py,
-    # PARITY.md "int8 serving mode"); `--no-int8` benches the exact-bf16
-    # path.
+    # W8A8 int8 LSTM-gate matmuls in the fused serving decoder: the shipped
+    # serving default (config.py pallas_decoder_int8=True; quality case in
+    # PARITY.md "int8 serving mode").  `--no-int8` benches the exact-bf16
+    # path.  The emitted JSON records which mode produced the number.
     hp.pallas_decoder_int8 = bool(int8)
 
     compute_dtype = jnp.bfloat16 if hp.compute_dtype == "bfloat16" else jnp.float32
@@ -148,6 +147,13 @@ def main(int8: bool = True):
         "value": round(frames_per_sec, 1),
         "unit": "mel_frames_per_sec_per_chip",
         "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 3),
+        # self-description: exactly which serving configuration this is
+        "config": {
+            "compute_dtype": hp.compute_dtype,
+            "lstm_gates_int8": bool(hp.pallas_decoder_int8),
+            "batch_streams": batch,
+            "chunk_frames": hp.decode_chunk_frames,
+        },
     }))
 
 
@@ -282,6 +288,8 @@ def train_bench():
         "value": round(audio_secs / best, 2),
         "unit": "audio_seconds_trained_per_sec_per_chip",
         "vs_baseline": round(best, 4),  # raw step seconds for reference
+        "config": {"compute_dtype": "bfloat16", "batch": batch,
+                   "frames": frames, "fused_train_decoder": True},
     }))
 
 

@@ -152,9 +152,13 @@ _DEFAULTS: Dict[str, Any] = {
     # W8A8 int8 serving mode for the fused decoder's two LSTM gate matmuls
     # (per-output-column weight scales, dynamic per-row activation quant
     # inside the kernel). ~1.8x on the dominant MXU work of the serving
-    # step; a lossy inference-only optimization, so opt-in. Quality impact
-    # on the trained fixture model is quantified in PARITY.md.
-    "pallas_decoder_int8": False,
+    # step. Default-on for serving: measured quality impact is 0.0007 dB
+    # MCD on the trained fixture (demos/int8_quality_results.json) — two
+    # orders of magnitude inside BASELINE.md's 0.1 dB criterion — and the
+    # fused-vs-XLA crossover grid stays all-green with it on
+    # (tools/hw_results/decode_crossover_2026-08-19b.log). Set False for
+    # the exact-bf16 path (bench.py --no-int8 benches that).
+    "pallas_decoder_int8": True,
     # int8 storage for the fused serving decoder's attention-memory and
     # memory-transform VMEM streams (per-channel / per-attention-dim dequant
     # scales). Halves the step's dominant operand traffic; None defers to the

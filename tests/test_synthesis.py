@@ -220,6 +220,8 @@ def test_synthesizer_pallas_decoder_wrapper(trained_checkpoint, monkeypatch):
     base = Synthesizer.from_checkpoint(path, max_chunks=2)
     hp, variables = base.hp, base.variables
     hp.dropout = 0.0
+    # exact-parity test: pin the (default-on) lossy int8 serving mode off
+    hp.pallas_decoder_int8 = False
     assert pallas_decoder.supports(hp)
 
     monkeypatch.setenv("MTTS_PALLAS_DECODER", "interpret")
