@@ -42,11 +42,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# repo-root bootstrap for direct execution (python demos/<name>.py);
+# the imports themselves are package imports
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import quality_parity_study as qps
-from learnability_check import alignment_diagonality
+from demos import quality_parity_study as qps
+from demos.learnability_check import alignment_diagonality
 
 # scaled copy task: flagship acoustic dims, realistic utterance lengths
 N_SYMBOLS = 40
@@ -84,6 +85,10 @@ def build_hp():
     hp.compute_dtype = "bfloat16"
     hp.use_pallas_train_decoder = True
     hp.use_pallas_decoder = True
+    # int8 LSTM gates are default-on for serving (config.py); pin the
+    # study's base model to the EXACT bf16 path so the jax_final vs
+    # jax_final_int8 rows measure the quantization delta, not 0
+    hp.pallas_decoder_int8 = False
     return hp
 
 
