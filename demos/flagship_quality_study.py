@@ -93,13 +93,19 @@ def build_hp():
 
 
 def train_jax_flagship(hp, batches, steps, log_every, torch_init_state,
-                       snapshot_step, seed=7):
+                       snapshot_step, seed=7, dtype=None,
+                       require_fused=True):
     """JAX training at flagship dims: bf16 compute, fused train decoder.
 
     Mirrors qps.train_jax but (a) builds the model with dtype=bfloat16,
     (b) asserts the fused Pallas train path is actually engaged, and
     (c) snapshots parameters at ``snapshot_step`` for the matched-step
-    comparison against torch's wall-clock-bounded run."""
+    comparison against torch's wall-clock-bounded run.
+
+    ``dtype``/``require_fused`` exist for the seed-variance addendum's
+    f32 control (demos/flagship_seed_variance.py): dtype=float32 with
+    require_fused=False isolates the bf16-compute effect from the
+    cross-framework RNG-stream difference."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -116,16 +122,18 @@ def train_jax_flagship(hp, batches, steps, log_every, torch_init_state,
     )
     from multilingual_text_to_speech_tpu.ops import pallas_train_decoder
 
+    dtype = jnp.bfloat16 if dtype is None else dtype
     assert jax.devices()[0].platform == "tpu", (
         "flagship study must run on the TPU: " + repr(jax.devices()))
     mem_dim = hp.encoder_dimension
-    assert pallas_train_decoder.supports(hp) and \
-        pallas_train_decoder.fits_vmem(
-            hp, BATCH, T_PAD, mem_dim, hp.attention_dimension,
-            dtype=jnp.bfloat16, train=True), \
-        "fused train decoder must engage at study dims"
+    if require_fused:
+        assert pallas_train_decoder.supports(hp) and \
+            pallas_train_decoder.fits_vmem(
+                hp, BATCH, T_PAD, mem_dim, hp.attention_dimension,
+                dtype=dtype, train=True), \
+            "fused train decoder must engage at study dims"
 
-    model = Tacotron(hp, train=True, dtype=jnp.bfloat16)
+    model = Tacotron(hp, train=True, dtype=dtype)
     text, tlen, target, flen, stop = batches[0]
     key = jax.random.PRNGKey(seed)
     args0 = (jnp.asarray(text, jnp.int32), jnp.asarray(tlen, jnp.int32),
