@@ -207,7 +207,10 @@ def train_bench():
         Tacotron,
         tacotron_loss,
     )
-    from multilingual_text_to_speech_tpu.training.trainer import make_optimizer
+    from multilingual_text_to_speech_tpu.training.trainer import (
+        dropout_stream_key,
+        make_optimizer,
+    )
 
     hp = _flagship_hp()
     model = Tacotron(hp, train=True, dtype=jnp.bfloat16)
@@ -235,7 +238,7 @@ def train_bench():
                 text, text_lengths, target, target_lengths,
                 speakers, languages, 1.0, rng,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)},
+                rngs={"dropout": dropout_stream_key(hp, rng)},
             )
             total, _ = tacotron_loss(
                 out, hp=hp, input_lengths=text_lengths,

@@ -143,6 +143,15 @@ _DEFAULTS: Dict[str, Any] = {
     # Compute dtype for matmul-heavy paths ('bfloat16' or 'float32').
     # Parameters and loss accumulation stay float32.
     "compute_dtype": "bfloat16",
+    # PRNG implementation for the training-time dropout mask stream
+    # (encoder/postnet ConvBlocks; the fused decoder kernels derive their
+    # masks from their own in-kernel counter hash and are unaffected).
+    # 'rbg' lowers to the TPU-native RngBitGenerator; threefry arithmetic
+    # otherwise costs real device time at flagship activation sizes (4.3 of
+    # the postnet's 8.7 ms fwd+bwd at B=50/F=512 — see
+    # tools/hw_results/postnet_microbench_2026-08-19.log). 'threefry' keeps
+    # masks bit-stable across jax versions/backends at that cost.
+    "dropout_rng_impl": "rbg",
     # Fused whole-chunk Pallas decoder for inference (ops/pallas_decoder.py):
     # the AR step loop runs inside one kernel with weights and attention
     # memory VMEM-resident. Used by the Synthesizer when the config is

@@ -62,6 +62,24 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def dropout_stream_key(hp, rng):
+    """Key for the flax 'dropout' stream (encoder/postnet ConvBlocks).
+
+    With ``hp.dropout_rng_impl='rbg'`` (the default) the stream is
+    re-wrapped as a TPU-native RngBitGenerator key: threefry mask
+    generation costs ~4.3 ms of the flagship postnet's 8.7 ms fwd+bwd at
+    B=50/F=512 (tools/hw_results/postnet_microbench_2026-08-19.log).  The
+    decoder threads its own raw key (the fused kernels hash a counter
+    in-kernel), so only nn.Dropout masks change.
+    """
+    key = jax.random.fold_in(rng, 1)
+    impl = getattr(hp, "dropout_rng_impl", "threefry")
+    if impl != "threefry":
+        data = jax.random.bits(key, (4,), jnp.uint32)
+        key = jax.random.wrap_key_data(data, impl=impl)
+    return key
+
+
 def make_optimizer(hp):
     """torch.optim.Adam(weight_decay=L2) + clip_grad_norm_, as one optax chain
     (reference: train.py:84,260-270)."""
@@ -313,6 +331,9 @@ class Trainer:
         matches = (pred == batch.speakers[:, None]) & mask
         return jnp.sum(matches) / jnp.maximum(jnp.sum(mask), 1)
 
+    def _dropout_rng(self, rng):
+        return dropout_stream_key(self.hp, rng)
+
     def _train_step_impl(self, state: TrainState, batch: Batch, tf_ratio,
                          ga_var, rng, *, ga_active: bool = True):
         hp = self.hp
@@ -325,7 +346,7 @@ class Trainer:
                 mutable = ["batch_stats"]
             out = self.model_train.apply(
                 variables, *self._model_args(batch, tf_ratio, rng),
-                mutable=mutable, rngs={"dropout": jax.random.fold_in(rng, 1)},
+                mutable=mutable, rngs={"dropout": self._dropout_rng(rng)},
             )
             out, mut = out if mutable else (out, {})
             total, losses = self._loss_from_outputs(
@@ -362,7 +383,7 @@ class Trainer:
             variables["batch_stats"] = state.batch_stats
         out = self.model_eval.apply(
             variables, *self._model_args(batch, tf_ratio, rng),
-            rngs={"dropout": jax.random.fold_in(rng, 1)},
+            rngs={"dropout": self._dropout_rng(rng)},
         )
         # same gate as training: eval loss drops the guided-attention term
         # once guided_att_steps expire (reference returns 0 in eval too)

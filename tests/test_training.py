@@ -55,6 +55,32 @@ def test_teacher_forcing_ratio():
     assert teacher_forcing_ratio(hp, 110) == pytest.approx(0.0)
 
 
+def test_dropout_rng_impl():
+    """hp.dropout_rng_impl: 'threefry' keeps the raw fold_in key; 'rbg'
+    re-wraps it as a typed RngBitGenerator key (deterministic in the base
+    rng).  The E2E trainer tests run the default ('rbg') through the model."""
+    from types import SimpleNamespace
+
+    hp = tiny_model_hp()
+    rng = jax.random.PRNGKey(5)
+
+    hp.dropout_rng_impl = "threefry"
+    k = Trainer._dropout_rng(SimpleNamespace(hp=hp), rng)
+    np.testing.assert_array_equal(
+        np.asarray(k), np.asarray(jax.random.fold_in(rng, 1)))
+
+    hp.dropout_rng_impl = "rbg"
+    k2 = Trainer._dropout_rng(SimpleNamespace(hp=hp), rng)
+    assert jnp.issubdtype(k2.dtype, jax.dtypes.prng_key)
+    m = jax.random.bernoulli(k2, 0.5, (256,))
+    assert 0 < int(m.sum()) < 256
+    # deterministic given the same base rng
+    k3 = Trainer._dropout_rng(SimpleNamespace(hp=hp), rng)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k2)),
+        np.asarray(jax.random.key_data(k3)))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     hp = tiny_model_hp()
     params = {"dense": {"kernel": np.random.randn(3, 4).astype(np.float32)}}

@@ -117,6 +117,22 @@ def main():
             print(f"{tag:24s} {ms:7.2f} ms  (loss {float(loss):.5f})",
                   flush=True)
 
+    # dropout PRNG impl: threefry (above) vs the TPU-native RngBitGenerator
+    # behind jax's 'rbg'/'unsafe_rbg' key impls.  Mask quality is fine for
+    # dropout; the question is device time.
+    for impl in ("rbg", "unsafe_rbg"):
+        k2 = jax.random.key(0, impl=impl)
+        tag = f"xla_conv+bn+do[{impl}]"
+        f = jax.jit(jax.value_and_grad(functools.partial(
+            net, conv=conv_xla, use_bn=True, use_dropout=True)))
+        loss, g = f(params, x0, rng=k2)
+        jax.block_until_ready(g)
+        ms = device_ms(lambda f=f, k2=k2: jax.block_until_ready(
+            f(params, x0, rng=k2)))
+        results[tag] = ms
+        print(f"{tag:24s} {ms:7.2f} ms  (loss {float(loss):.5f})",
+              flush=True)
+
     # parity of the two conv formulations (value + a weight grad)
     f_a = jax.jit(jax.value_and_grad(functools.partial(
         net, conv=conv_xla, use_bn=True, use_dropout=False)))

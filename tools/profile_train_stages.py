@@ -55,7 +55,8 @@ def main():
     from multilingual_text_to_speech_tpu.models import tacotron as tac
     from multilingual_text_to_speech_tpu.models.tacotron import (
         Tacotron, tacotron_loss)
-    from multilingual_text_to_speech_tpu.training.trainer import make_optimizer
+    from multilingual_text_to_speech_tpu.training.trainer import (
+        dropout_stream_key, make_optimizer)
 
     hp = _flagship_hp()
     model = Tacotron(hp, train=True, dtype=jnp.bfloat16)
@@ -82,7 +83,7 @@ def main():
         out, _ = model.apply(
             {"params": params, **rest}, *args, method=method,
             mutable=["batch_stats"],
-            rngs={"dropout": jax.random.fold_in(key, 1)})
+            rngs={"dropout": dropout_stream_key(hp, key)})
         return out
 
     # ---- full step (the bench.py --train measurement) -------------------
@@ -93,7 +94,7 @@ def main():
                 {"params": p, **rest}, text, text_lengths, target,
                 target_lengths, speakers, languages, 1.0, rng,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)})
+                rngs={"dropout": dropout_stream_key(hp, rng)})
             total, _ = tacotron_loss(
                 out, hp=hp, input_lengths=text_lengths,
                 target_lengths=target_lengths, pre_target=target,
@@ -121,7 +122,7 @@ def main():
             out, _ = model.apply(
                 {"params": p, **rest}, text, text_lengths, languages,
                 method=enc_method, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(key, 1)})
+                rngs={"dropout": dropout_stream_key(hp, key)})
             return out
         enc, vjp = jax.vjp(f, params)
         return enc, vjp(cot)[0]
@@ -143,7 +144,7 @@ def main():
             out, _ = model.apply(
                 {"params": p, **rest}, e, rng,
                 method=dec_method, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)})
+                rngs={"dropout": dropout_stream_key(hp, rng)})
             pre, stop_l, ali = out
             return (jnp.mean(pre ** 2) + jnp.mean(stop_l ** 2)
                     + jnp.mean(ali ** 2))
@@ -164,7 +165,7 @@ def main():
             out, _ = model.apply(
                 {"params": p, **rest}, x, target_lengths,
                 method=Tacotron.apply_postnet, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(key, 1)})
+                rngs={"dropout": dropout_stream_key(hp, key)})
             return jnp.mean(out ** 2)
         return jax.value_and_grad(f, argnums=(0, 1))(params, pre)
 
@@ -182,7 +183,7 @@ def main():
                     {"params": p, **rest}, e,
                     method=lambda m, x: m.classifier(x),
                     mutable=["batch_stats"],
-                    rngs={"dropout": jax.random.fold_in(key, 1)})
+                    rngs={"dropout": dropout_stream_key(hp, key)})
                 return jnp.mean(out ** 2)
             return jax.value_and_grad(f, argnums=(0, 1))(params, enc)
 

@@ -22,7 +22,8 @@ def main():
     from __graft_entry__ import _flagship_hp, _make_batch
     from multilingual_text_to_speech_tpu.models.tacotron import (
         Tacotron, tacotron_loss)
-    from multilingual_text_to_speech_tpu.training.trainer import make_optimizer
+    from multilingual_text_to_speech_tpu.training.trainer import (
+        dropout_stream_key, make_optimizer)
 
     import sys
 
@@ -59,7 +60,7 @@ def main():
                 text, text_lengths, target, target_lengths,
                 speakers, languages, 1.0, rng,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(rng, 1)})
+                rngs={"dropout": dropout_stream_key(hp, rng)})
             total, _ = tacotron_loss(
                 out, hp=hp, input_lengths=text_lengths,
                 target_lengths=target_lengths, pre_target=target,
