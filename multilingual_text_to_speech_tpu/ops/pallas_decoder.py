@@ -783,7 +783,7 @@ def _block_call(kernel, steps, bb, t_len, mem_dim, hidden, mmel, att_dim,
 
 
 def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
-                    chunk, dtype, budget=110 * 1024 * 1024,
+                    chunk, dtype, budget=121 * 1024 * 1024,
                     quantized=False, q_streams=False, att_kind="ls",
                     n_prenet=2):
     """Largest batch-block whose kernel fits the VMEM budget; 0 = no-fit
@@ -842,17 +842,29 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         + (4 * 2 * _LANES if att_kind == "fwd_trans" else 0)  # t_prob i/o
         # Mosaic register-allocator SPILL SLOTS: real VMEM the window
         # model cannot see (same lesson as the train kernels' model).
-        # The rolled step loop keeps the [BB, A*Tb] energy row plus a
-        # handful of f32 gate rows live across the body; the 2026-08-19
-        # v5e OOM dump at (B=240, T=256, bf16, int8 gates) measured
-        # 21.24M of spill = 88.5 KB/row with at_b = 32768 — the model's
-        # 110M budget left only 18M of headroom and Mosaic busted the
-        # 128M chip by 6.38M (log: tools/hw_results/
-        # decode_crossover_2026-08-19.log). esize*at_b + 24K reproduces
-        # that dump (90.1 KB/row) and keeps every measured-good config:
-        # T=128 stays a single 240-row block (cap 352), T=384/512
-        # T-blocked picks are unchanged at bench batches.
-        + esize * at_b + 24 * 1024
+        # The rolled step loop keeps the [BB, A*Tb] energy row (compute
+        # dtype -> esize*at_b) plus a set of f32 gate/staging rows live
+        # across the body; the f32-row set is larger when the gates are
+        # NOT int8-quantized (no 1-byte staging, more full-width f32
+        # rows).  Two v5e calibration points, both at flagship dims and
+        # T=256 with at_b = 32768:
+        #   * bf16 + int8 gates, B=240 single block: OOM dump measured
+        #     21.24M spill = 88.5 KB/row (decode_crossover_2026-08-19.log)
+        #     -> esize*at_b + 24K charges 88 KB;
+        #   * f32, unquantized: hardware fits 30-row blocks and busts at
+        #     40 by 2.32M (130.32M used); solving fixed + 40*per_row =
+        #     130.32M against this model's non-spill bytes gives 222.4
+        #     KB/row of real spill (spill_probe_f32_2026-08-19.log)
+        #     -> esize*at_b + 24K + 72K charges 224 KB.
+        # With both points reproduced the budget keeps only a 7M safety
+        # margin (121M of the 128M chip) instead of the 18M that the
+        # original esize-only charge hid behind.  Every int8 grid pick
+        # (B in {10..240} x T in {128..512}) is unchanged by this
+        # recalibration; f32 T=256 grows 16->24-row blocks (hardware-
+        # validated to 30 by the probe) and bf16-unquantized T=512
+        # grows 48->60 (hardware-validated, see
+        # unquant_t512_block60_2026-08-19.log).
+        + esize * at_b + 24 * 1024 + (0 if quantized else 72 * 1024)
     )
     cap = int((budget - fixed) // max(per_row, 1))
     if cap < 8:
@@ -1054,12 +1066,17 @@ def make_decode_fn(hp, variables, compute_dtype=jnp.bfloat16,
                      chunk_frames=chunk):
         # the weight-derived energy operands depend only on the (padded)
         # text-length bucket: build them once per bucket, not in every
-        # traced chunk call (under jit they become baked-in constants)
+        # traced chunk call (under jit they become baked-in constants).
+        # ensure_compile_time_eval keeps the cached values CONCRETE even
+        # when this fill happens inside a jit trace — without it the cache
+        # would hold first-trace tracers and poison any later retrace at
+        # the same bucket (e.g. a second jit wrapper over one closure).
         t_pad = _padded_t(memory.shape[1])
         t_block = t_pad if t_pad <= _SINGLE_FOLD_MAX else _T_BLOCK
         if t_pad not in static_cache:
-            static_cache[t_pad] = _static_energy_operands(
-                bundle, t_pad, att_dim, compute_dtype, t_block)
+            with jax.ensure_compile_time_eval():
+                static_cache[t_pad] = _static_energy_operands(
+                    bundle, t_pad, att_dim, compute_dtype, t_block)
         return fused_decode_chunk(
             bundle, carry, memory, memory_transform, mask, rng,
             chunk_frames, static_ops=static_cache[t_pad], **kwargs)

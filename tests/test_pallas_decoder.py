@@ -432,3 +432,29 @@ def test_fused_forward_int8_gates():
     rel = (np.linalg.norm(np.asarray(spec_q) - np.asarray(spec_x))
            / np.linalg.norm(np.asarray(spec_x)))
     assert rel < 0.05, f"relative spec error {rel}"
+
+
+def test_make_decode_fn_retrace_same_bucket():
+    """Regression: one make_decode_fn closure driven by TWO separate jit
+    wrappers at the SAME text-length bucket.  The closure caches the
+    weight-derived energy operands per bucket; before the
+    ensure_compile_time_eval fix the first trace stored TRACERS in that
+    cache and the second wrapper's retrace died with
+    UnexpectedTracerError (hit by tools/hw_validate_spill_recal.py when
+    re-jitting one closure at two block caps)."""
+    from multilingual_text_to_speech_tpu.ops.pallas_decoder import (
+        make_decode_fn,
+    )
+
+    hp, variables, memory, mt, mask, carry, _ = _setup()
+    hp.use_pallas_decoder = True
+    fused = make_decode_fn(hp, variables, jnp.float32, interpret=True)
+    rng = jax.random.PRNGKey(3)
+
+    step1 = jax.jit(lambda c, m, t, k, r: fused(c, m, t, k, r, 2))
+    _, (spec1, _) = step1(carry, memory, mt, mask, rng)
+    # a distinct jit wrapper over the same closure retraces at the same
+    # bucket and must see concrete cached operands, not stale tracers
+    step2 = jax.jit(lambda c, m, t, k, r: fused(c, m, t, k, r, 2))
+    _, (spec2, _) = step2(carry, memory, mt, mask, rng)
+    np.testing.assert_array_equal(np.asarray(spec1), np.asarray(spec2))
