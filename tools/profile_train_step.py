@@ -6,10 +6,15 @@ where the 60 ms goes beyond the fused decoder kernels.
 import glob
 import gzip
 import json
+import os
+import sys
 import tempfile
 from collections import defaultdict
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
