@@ -458,3 +458,41 @@ def test_make_decode_fn_retrace_same_bucket():
     step2 = jax.jit(lambda c, m, t, k, r: fused(c, m, t, k, r, 2))
     _, (spec2, _) = step2(carry, memory, mt, mask, rng)
     np.testing.assert_array_equal(np.asarray(spec1), np.asarray(spec2))
+
+
+def test_vmem_cap_hardware_validated_picks():
+    """Pin the block caps of the four hardware-anchored serving cells so
+    byte-model drift is caught off-device.  Anchors (flagship dims:
+    mem=292, att=128, hidden=1024, 80 mels, prenet 256, chunk 128):
+
+      * bf16 + int8 gates, T=128: cap >= 240 (single 240-row block — the
+        bench config; decode_crossover_2026-08-19b.log);
+      * bf16 + int8 gates, T=256: 240 rows must NOT fit (the 134 MB OOM
+        that calibrated the quantized spill charge), while the re-run
+        grid's 120-row pick must;
+      * f32 unquantized, T=256: pick 24 validated bit-exact and 1.32x
+        over the old 16 (unquant_t512_block60_2026-08-19.log), hardware
+        fits 30 (spill_probe_f32_2026-08-19.log) — cap must sit in
+        [24, 30];
+      * bf16 unquantized, T=512: pick 60 validated bit-exact
+        (unquant_t512_block60_2026-08-19.log) — cap in [60, 67] (the
+        probe did not test past the model's 67).
+    """
+    from multilingual_text_to_speech_tpu.ops import pallas_decoder as pd
+
+    dims = dict(mem_dim=292, att_dim=128, hidden=1024, mmel=80,
+                prenet_dim=256, chunk=128)
+
+    def cap(t_len, dtype, quantized):
+        return pd._auto_block_cap(
+            pd._padded_t(t_len), dims["mem_dim"], dims["att_dim"],
+            dims["hidden"], dims["mmel"], dims["prenet_dim"],
+            dims["chunk"], dtype, quantized=quantized)
+
+    assert cap(128, jnp.bfloat16, True) >= 240
+    c256q = cap(256, jnp.bfloat16, True)
+    assert 120 <= c256q < 240, c256q
+    c256f = cap(256, jnp.float32, False)
+    assert 24 <= c256f <= 30, c256f
+    c512u = cap(512, jnp.bfloat16, False)
+    assert 60 <= c512u <= 67, c512u
