@@ -133,3 +133,38 @@ def test_trim_tree_preserves_sample_rate(tmp_path):
 
     with pytest.raises(ValueError, match="sample rate"):
         trim_tree(str(tmp_path), sample_rate=22050)
+
+
+def test_romanize_fake_backends(monkeypatch, capsys):
+    """Romanizer line filters with fake jieba/pinyin/MeCab/romkan modules
+    (the real backends are optional host deps, absent here — same gating
+    pattern as the phonemizer; reference dataset_prepare/
+    pinyin_convertor.py and mecab_convertor.py)."""
+    import sys
+    import types
+
+    from multilingual_text_to_speech_tpu.dataset_prepare import romanize
+
+    fake_jieba = types.SimpleNamespace(cut=lambda s: s.split())
+    fake_pinyin = types.SimpleNamespace(get=lambda w: f"p({w})")
+    monkeypatch.setitem(sys.modules, "jieba", fake_jieba)
+    monkeypatch.setitem(sys.modules, "pinyin", fake_pinyin)
+    assert romanize.to_pinyin("ni hao\n") == "p(ni) p(hao)"
+
+    class FakeTagger:
+        def __init__(self, mode):
+            self.mode = mode
+
+        def parse(self, s):
+            return s.strip() + {"-Owakati": " W", "-Oyomi": " Y"}[self.mode]
+
+    fake_mecab = types.SimpleNamespace(Tagger=FakeTagger)
+    fake_romkan = types.SimpleNamespace(to_roma=lambda s: f"r[{s}]")
+    monkeypatch.setitem(sys.modules, "MeCab", fake_mecab)
+    monkeypatch.setitem(sys.modules, "romkan", fake_romkan)
+    assert romanize.to_romaji("konnichiwa") == "r[konnichiwa W Y]"
+
+    # the CLI main(): stdin lines -> converted stdout lines
+    monkeypatch.setattr(sys, "stdin", iter(["ni hao\n"]))
+    romanize.main(["--lang", "zh"])
+    assert capsys.readouterr().out == "p(ni) p(hao)\n"
