@@ -40,8 +40,11 @@ def main(int8: bool = True):
 
     hp = _flagship_hp()
     # throughput-serving chunk size: fewer dispatches per utterance
-    # (interactive synthesis defaults to 64 for finer early-exit)
-    hp.decode_chunk_frames = 128
+    # (interactive synthesis defaults to 64 for finer early-exit).
+    # On-chip A/B (tools/hw_results/chunk_ab_2026-08-19.log): 256 is
+    # 1.012x of 128 (single 240-row block held longer); 512 is 0.967x
+    # (the byte model splits it into 120-row blocks).
+    hp.decode_chunk_frames = 256
     # W8A8 int8 LSTM-gate matmuls in the fused serving decoder: the shipped
     # serving default (config.py pallas_decoder_int8=True; quality case in
     # PARITY.md "int8 serving mode").  `--no-int8` benches the exact-bf16
