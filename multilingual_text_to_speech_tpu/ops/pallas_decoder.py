@@ -858,12 +858,16 @@ def _auto_block_cap(t_len, mem_dim, att_dim, hidden, mmel, prenet_dim,
         #     -> esize*at_b + 24K + 72K charges 224 KB.
         # With both points reproduced the budget keeps only a 7M safety
         # margin (121M of the 128M chip) instead of the 18M that the
-        # original esize-only charge hid behind.  Every int8 grid pick
-        # (B in {10..240} x T in {128..512}) is unchanged by this
-        # recalibration; f32 T=256 grows 16->24-row blocks (hardware-
-        # validated to 30 by the probe) and bf16-unquantized T=512
-        # grows 48->60 (hardware-validated, see
-        # unquant_t512_block60_2026-08-19.log).
+        # original esize-only charge hid behind.  Every pick this grows
+        # is hardware-validated bit-exact against its old pick:
+        #   * int8 picks at chunk <= 128 (B in {10..240} x T in
+        #     {128..512}) are unchanged;
+        #   * at the chunk-256 throughput setting two int8 picks grow —
+        #     T=384 80->120 rows (1.072x faster) and T=512 60->80
+        #     (1.037x) — int8_c256_picks_2026-08-19.log;
+        #   * f32 T=256 grows 16->24 (probe fits 30; 1.322x) and
+        #     bf16-unquantized T=512 grows 48->60 (0.979x, noise) —
+        #     unquant_t512_block60_2026-08-19.log.
         + esize * at_b + 24 * 1024 + (0 if quantized else 72 * 1024)
     )
     cap = int((budget - fixed) // max(per_row, 1))

@@ -496,3 +496,19 @@ def test_vmem_cap_hardware_validated_picks():
     assert 24 <= c256f <= 30, c256f
     c512u = cap(512, jnp.bfloat16, False)
     assert 60 <= c512u <= 67, c512u
+
+    # chunk-256 throughput-serving cells (bench.py's shipped setting;
+    # int8_c256_picks_2026-08-19.log validated both grown picks
+    # bit-exact and faster, and chunk_ab_2026-08-19.log measured the
+    # T=128 single 240-row block that the 3.77M frames/s number needs)
+    def cap_c(t_len, chunk):
+        return pd._auto_block_cap(
+            pd._padded_t(t_len), dims["mem_dim"], dims["att_dim"],
+            dims["hidden"], dims["mmel"], dims["prenet_dim"],
+            chunk, jnp.bfloat16, quantized=True)
+
+    assert cap_c(128, 256) >= 240
+    c384 = cap_c(384, 256)
+    assert 120 <= c384 < 240, c384
+    c512 = cap_c(512, 256)
+    assert 80 <= c512 < 120, c512

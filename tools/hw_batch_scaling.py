@@ -13,36 +13,15 @@ Run (one TPU process at a time):
   timeout 3600 python tools/hw_batch_scaling.py 2>&1 | tee \
       tools/hw_results/batch_scaling_2026-08-19.log
 """
-import functools
-import glob
-import gzip
-import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-
-def device_us(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="bscale_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_"))
+from tools.trace_util import device_us  # noqa: E402
 
 
 def main():
@@ -103,10 +82,13 @@ def main():
 
         run(0)  # warmup + compile (OOM would fire here)
         us = device_us(lambda: run(1))
+        # end-to-end definition (encode + all decode chunks), identical
+        # to bench.py's — the ratios compare like with like; encode is
+        # ~3% of the total and also scales per-row
         fps = batch * decode_frames / (us / 1e6)
         per_step = us / decode_frames
         results.append((batch, per_step, fps))
-        print(f"B={batch}: {per_step:.1f} us/frame-step | "
+        print(f"B={batch}: {per_step:.1f} us/frame-step end-to-end | "
               f"{fps/1e6:.2f}M frames/s/chip "
               f"({fps / results[0][2]:.3f}x of B=240)", flush=True)
 

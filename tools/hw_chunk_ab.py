@@ -11,35 +11,15 @@ Run (one TPU process at a time):
   timeout 3600 python tools/hw_chunk_ab.py 2>&1 | tee \
       tools/hw_results/chunk_ab_2026-08-19.log
 """
-import glob
-import gzip
-import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-
-def device_us(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="chunk_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_"))
+from tools.trace_util import device_us  # noqa: E402
 
 
 def main():

@@ -14,12 +14,9 @@ train shapes [B=50, F=512, M=80 -> 512 x4 -> 80], value+grad device ms:
 Run:  timeout 2400 python tools/hw_postnet_microbench.py
 """
 import functools
-import glob
-import gzip
 import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
@@ -27,22 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def device_ms(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="pn_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_")) / 1e3
+from tools.trace_util import device_ms  # noqa: E402
 
 
 def main():

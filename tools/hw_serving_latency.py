@@ -19,36 +19,15 @@ Run (one TPU process at a time):
   timeout 3600 python tools/hw_serving_latency.py 2>&1 | tee \
       tools/hw_results/serving_latency_2026-08-19.log
 """
-import functools
-import glob
-import gzip
-import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-
-def device_us(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="lat_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_"))
+from tools.trace_util import device_us  # noqa: E402
 
 
 def main():
@@ -125,10 +104,16 @@ def main():
 
         first_chunk(0)  # warmup + compile
         tta_us = device_us(lambda: first_chunk(1))
+        # separate the encode pass so the per-frame number is decode-only
+        # (a run_us/(8*chunk) quotient would smear amortized encode time
+        # into the frame steps — ~4% at B=1)
+        enc_us = device_us(lambda: float(np.asarray(encode(
+            variables, text, lengths, speakers, languages)[0])[0, 0, 0]))
         run_us = device_us(lambda: eight_chunks(2))
-        per_step = run_us / (8 * chunk)
+        per_step = (run_us - enc_us) / (8 * chunk)
         rtf = hop_ms * 1e3 / per_step
-        print(f"B={batch}: {per_step:.1f} us/frame-step | per-stream "
+        print(f"B={batch}: decode {per_step:.1f} us/frame-step "
+              f"(encode {enc_us/1e3:.2f} ms separate) | per-stream "
               f"real-time factor {rtf:.0f}x | time-to-first-audio "
               f"(encode + {chunk} frames = 0.8 s) {tta_us/1e3:.2f} ms "
               f"device", flush=True)

@@ -11,12 +11,9 @@ One process, one TPU session (the tunnel wedges between processes):
 
 Run:  timeout 1200 python tools/hw_validate_int8_streams.py
 """
-import glob
-import gzip
 import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
@@ -24,22 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def device_us(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="int8s_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_"))
+from tools.trace_util import device_us  # noqa: E402
 
 
 def main():

@@ -5,27 +5,28 @@ esize-scaled spill charge plus the 18M budget margin was conservative for
 unquantized serving: f32 T=256 fit 30-row blocks on the chip while the
 model allowed 16.  `_auto_block_cap` now charges the measured per-mode
 spill (esize*at_b + 24K quantized, + 72K more unquantized) against a 121M
-budget.  Exactly two block picks changed, both larger:
+budget.  Four block picks changed, all larger (the two unquantized picks
+at chunk 128, and — a round-5 review finding — two int8 picks at the
+chunk-256 throughput-serving setting):
 
-  1. f32  unquant T=256 B=240: 16 -> 24 rows (probe validated 30 fits);
-  2. bf16 unquant T=512 B=240: 48 -> 60 rows (THIS script validates it).
+  0. bf16 unquant T=512 c128 B=240: 48 -> 60 rows;
+  1. f32  unquant T=256 c128 B=240: 16 -> 24 rows (probe fits 30);
+  2. bf16 int8    T=384 c256 B=240: 80 -> 120 rows;
+  3. bf16 int8    T=512 c256 B=240: 60 -> 80 rows.
 
 For each changed pick this script compiles and runs the fused serving
 decoder at the new auto pick, checks bit-identical outputs against the
 previous pick (dropout off — per-row math is block-partition-invariant),
-and reports profiled device us/step for old vs new.
+and reports profiled device us/step for old vs new.  ``--cases=i,j``
+selects a subset by index.
 
-One process, one TPU session.  Run:
-  timeout 3600 python tools/hw_validate_spill_recal.py 2>&1 | tee \
-      tools/hw_results/unquant_t512_block60_2026-08-19.log
+One process, one TPU session.  Runs recorded:
+  cases 0,1 -> tools/hw_results/unquant_t512_block60_2026-08-19.log
+  cases 2,3 -> tools/hw_results/int8_c256_picks_2026-08-19.log
 """
 import functools
-import glob
-import gzip
-import json
 import os
 import sys
-import tempfile
 
 import numpy as np
 
@@ -33,22 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def device_us(run_fn):
-    import jax
-    trace_dir = tempfile.mkdtemp(prefix="recal_trace_")
-    jax.profiler.start_trace(trace_dir)
-    run_fn()
-    jax.profiler.stop_trace()
-    tf = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
-                          recursive=True))[-1]
-    data = json.load(gzip.open(tf))
-    events = data["traceEvents"]
-    pids = {e["pid"]: e["args"].get("name", "")
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    return sum(e.get("dur", 0) for e in events
-               if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
-               and e.get("name", "").startswith("jit_"))
+from tools.trace_util import device_us  # noqa: E402
 
 
 def main():
@@ -63,14 +49,25 @@ def main():
     from multilingual_text_to_speech_tpu.models.tacotron import Tacotron
     from multilingual_text_to_speech_tpu.ops import pallas_decoder as pd
 
-    chunk = 128
     cases = [
-        # (name, dtype, int8, text_len, old_pick)
-        ("bf16-unquant T=512", jnp.bfloat16, False, 512, 48),
-        ("f32-unquant T=256", jnp.float32, False, 256, 16),
+        # (name, dtype, int8, text_len, chunk, old_pick)
+        ("bf16-unquant T=512 c128", jnp.bfloat16, False, 512, 128, 48),
+        ("f32-unquant T=256 c128", jnp.float32, False, 256, 128, 16),
+        # the budget raise also grew two int8 picks at the chunk-256
+        # throughput-serving setting (review finding, 2026-08-19):
+        # T=384 80 -> 120 rows, T=512 60 -> 80 rows
+        ("bf16-int8 T=384 c256", jnp.bfloat16, True, 384, 256, 80),
+        ("bf16-int8 T=512 c256", jnp.bfloat16, True, 512, 256, 60),
     ]
+    sel = None
+    for a in sys.argv[1:]:
+        if a.startswith("--cases="):
+            sel = {int(i) for i in a.split("=", 1)[1].split(",")}
     failures = 0
-    for name, compute_dtype, int8, text_len, old_pick in cases:
+    for ci, (name, compute_dtype, int8, text_len, chunk,
+             old_pick) in enumerate(cases):
+        if sel is not None and ci not in sel:
+            continue
         hp = _flagship_hp()
         hp.compute_dtype = ("bfloat16" if compute_dtype == jnp.bfloat16
                             else "float32")
